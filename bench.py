@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Headline benchmark: Tiny-ImageNet ResNet18_EE_square PGD-10 adversarial
+training throughput (the reference's recorded workload — BASELINE.md:
+~130 img/s on its GPU at bs=100, including the PGD-10 inner loop).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Runs on whatever jax.devices() provides (the real TPU chip under axon).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from edge_enhancement_tpu.data.datasets import SPECS, synthetic_dataset
+from edge_enhancement_tpu.models.registry import build_model
+from edge_enhancement_tpu.objectives.methods import MethodConfig
+from edge_enhancement_tpu.parallel import mesh as meshlib
+from edge_enhancement_tpu.train.modelops import ModelOps
+from edge_enhancement_tpu.train.trainer import (OptimConfig, build_train_step,
+                                                create_train_state)
+
+REFERENCE_IMG_PER_SEC = 130.0  # BASELINE.md: ~0.73-0.80 s/iter @ bs100
+
+
+def main():
+    batch_size = 100
+    spec = SPECS["tiny_imagenet"]
+    args = dict(r=8, w=1.0, gf=False, low=38.0, high=76.0, alpha=0.0,
+                sigma=1.0, type_canny="CannyFilter_step125_1",
+                epsilon=0.062745098039216, n_queries=1, cize=64)
+    model = build_model("resnet18_EE_square", args, spec.num_classes)
+    ops = ModelOps(model)
+    mesh = meshlib.make_mesh()
+
+    mcfg = MethodConfig(method_name="EE_BPDA3_AT_square",
+                        epsilon=0.062745098039216, num_steps=10,
+                        step_size=0.007843137254902, num_classes=200)
+    step = build_train_step(ops, mcfg, OptimConfig(momentum=0.9,
+                                                   weight_decay=2e-4),
+                            mesh=mesh, donate=True)
+
+    ds = synthetic_dataset(spec, batch_size * 2, seed=0)
+    x, y = next(ds.batches(batch_size, shuffle=False, seed=0))
+    state = create_train_state(ops, jax.random.PRNGKey(0),
+                               jnp.asarray(x[:1]))
+    state = meshlib.replicate(mesh, state)
+    xb, yb = meshlib.shard_batch(mesh, (x, y))
+    lr = jnp.float32(0.1)
+    key = jax.random.PRNGKey(1)
+
+    # warmup / compile
+    key, k = jax.random.split(key)
+    state, m = step(state, xb, yb, k, lr)
+    jax.block_until_ready(m["loss"])
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        key, k = jax.random.split(key)
+        state, m = step(state, xb, yb, k, lr)
+    jax.block_until_ready(m["loss"])
+    dt = (time.perf_counter() - t0) / iters
+
+    img_per_sec = batch_size / dt
+    print(json.dumps({
+        "metric": "tinyin_resnet18_ee_bpda3_pgd10_at_throughput",
+        "value": round(img_per_sec, 2),
+        "unit": "img/s",
+        "vs_baseline": round(img_per_sec / REFERENCE_IMG_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,217 @@
+"""Dataset loading: MNIST idx files, CIFAR-100 pickle batches, Tiny-ImageNet /
+ImageNet image folders (via PIL), plus a synthetic generator for smoke tests
+and benchmarking on machines without the datasets.
+
+Parity notes (reference utils/data_loader.py): NO normalisation anywhere —
+pixels stay in [0, 1] (the attacks' clamp(0,1) assumes this). Augmentations:
+MNIST none; CIFAR-100 pad-4 random crop + hflip + random rotation(15);
+Tiny-ImageNet hflip only; ImageNet RandomResizedCrop(224)+hflip train /
+Resize(256)+CenterCrop(224) eval.
+
+Layout is NHWC float32 throughout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import gzip
+import os
+import pickle
+import struct as pystruct
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class DatasetSpec:
+    name: str
+    image_size: int
+    channels: int
+    num_classes: int
+    train_size: int
+    eval_size: int
+
+
+SPECS = {
+    "mnist": DatasetSpec("mnist", 28, 1, 10, 60000, 10000),
+    "cifar100": DatasetSpec("cifar100", 32, 3, 100, 50000, 10000),
+    "tiny_imagenet": DatasetSpec("tiny_imagenet", 64, 3, 200, 100000, 10000),
+    "imagenet": DatasetSpec("imagenet", 224, 3, 1000, 1281167, 50000),
+}
+
+
+# --------------------------------------------------------------------------
+# In-memory array datasets
+# --------------------------------------------------------------------------
+
+class ArrayDataset:
+    """Images (N, H, W, C) uint8 + labels (N,) int32, with optional
+    per-sample augmentation applied at batch time."""
+
+    def __init__(self, images: np.ndarray, labels: np.ndarray, augment=None):
+        assert images.ndim == 4 and images.dtype == np.uint8
+        self.images = images
+        self.labels = labels.astype(np.int32)
+        self.augment = augment
+
+    def __len__(self):
+        return len(self.images)
+
+    def batches(self, batch_size: int, *, shuffle: bool, seed: int,
+                epoch: int = 0, drop_last: bool = True,
+                process_index: int = 0, process_count: int = 1
+                ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        """Yield float32 [0,1] NHWC batches. With process_count > 1 this
+        shards the index stream per host (DistributedSampler equivalent)."""
+        n = len(self)
+        rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
+        idx = rng.permutation(n) if shuffle else np.arange(n)
+        idx = idx[process_index::process_count]
+        stop = (len(idx) // batch_size) * batch_size if drop_last else len(idx)
+        for s in range(0, stop, batch_size):
+            take = idx[s:s + batch_size]
+            imgs = self.images[take]
+            if self.augment is not None:
+                imgs = self.augment(imgs, rng)
+            yield imgs.astype(np.float32) / 255.0, self.labels[take]
+
+
+# --------------------------------------------------------------------------
+# Augmentations (numpy, applied on uint8 batches)
+# --------------------------------------------------------------------------
+
+def hflip_batch(imgs: np.ndarray, rng) -> np.ndarray:
+    flip = rng.random(len(imgs)) < 0.5
+    out = imgs.copy()
+    out[flip] = out[flip, :, ::-1]
+    return out
+
+
+def cifar_augment(imgs: np.ndarray, rng) -> np.ndarray:
+    """RandomCrop(32, padding=4) + hflip + RandomRotation(15)."""
+    n, h, w, c = imgs.shape
+    padded = np.pad(imgs, ((0, 0), (4, 4), (4, 4), (0, 0)), mode="constant")
+    out = np.empty_like(imgs)
+    offs = rng.integers(0, 9, size=(n, 2))
+    for i in range(n):
+        oy, ox = offs[i]
+        out[i] = padded[i, oy:oy + h, ox:ox + w]
+    out = hflip_batch(out, rng)
+    angles = rng.uniform(-15, 15, size=n)
+    try:
+        import scipy.ndimage as ndi
+        for i in range(n):
+            out[i] = ndi.rotate(out[i], angles[i], reshape=False, order=1,
+                                mode="constant")
+    except ImportError:
+        pass
+    return out
+
+
+# --------------------------------------------------------------------------
+# Real-data loaders
+# --------------------------------------------------------------------------
+
+def _read_idx(path: str) -> np.ndarray:
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as f:
+        zero, dtype_code, ndim = pystruct.unpack(">HBB", f.read(4))
+        dims = pystruct.unpack(">" + "I" * ndim, f.read(4 * ndim))
+        return np.frombuffer(f.read(), dtype=np.uint8).reshape(dims)
+
+
+def load_mnist(root: str, train: bool) -> ArrayDataset:
+    split = "train" if train else "t10k"
+    candidates = [root, os.path.join(root, "MNIST", "raw"), os.path.join(root, "raw")]
+    for base in candidates:
+        img_p = os.path.join(base, f"{split}-images-idx3-ubyte")
+        lab_p = os.path.join(base, f"{split}-labels-idx1-ubyte")
+        for suffix in ("", ".gz"):
+            if os.path.exists(img_p + suffix):
+                imgs = _read_idx(img_p + suffix)[..., None]
+                labels = _read_idx(lab_p + suffix)
+                return ArrayDataset(imgs, labels)
+    raise FileNotFoundError(f"MNIST idx files not found under {root!r}")
+
+
+def load_cifar100(root: str, train: bool) -> ArrayDataset:
+    base = root if os.path.exists(os.path.join(root, "train")) else os.path.join(root, "cifar-100-python")
+    fname = "train" if train else "test"
+    with open(os.path.join(base, fname), "rb") as f:
+        d = pickle.load(f, encoding="bytes")
+    imgs = d[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1).copy()
+    labels = np.asarray(d[b"fine_labels"])
+    return ArrayDataset(imgs, labels, augment=cifar_augment if train else None)
+
+
+def load_image_folder(root: str, image_size: int, augment=None,
+                      class_to_idx: Optional[dict] = None) -> ArrayDataset:
+    """ImageFolder: root/<class>/*.JPEG, decoded with PIL, resized to
+    image_size (Tiny-ImageNet ships at 64x64 already)."""
+    from PIL import Image
+    classes = sorted(d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d)))
+    if class_to_idx is None:
+        class_to_idx = {c: i for i, c in enumerate(classes)}
+    imgs, labels = [], []
+    for c in classes:
+        cdir = os.path.join(root, c)
+        for dirpath, _, files in os.walk(cdir):
+            for fn in sorted(files):
+                if not fn.lower().endswith((".jpeg", ".jpg", ".png")):
+                    continue
+                with Image.open(os.path.join(dirpath, fn)) as im:
+                    im = im.convert("RGB")
+                    if im.size != (image_size, image_size):
+                        im = im.resize((image_size, image_size), Image.BILINEAR)
+                    imgs.append(np.asarray(im, np.uint8))
+                labels.append(class_to_idx[c])
+    return ArrayDataset(np.stack(imgs), np.asarray(labels), augment=augment)
+
+
+# --------------------------------------------------------------------------
+# Synthetic data (smoke tests / benchmarks without the real datasets)
+# --------------------------------------------------------------------------
+
+def synthetic_dataset(spec: DatasetSpec, n: int, seed: int = 0,
+                      augment=None) -> ArrayDataset:
+    """Class-conditional structured images (blobs + edges placed by label) so
+    that training actually reduces loss and edge ops see real structure."""
+    rng = np.random.default_rng(seed)
+    h = spec.image_size
+    imgs = np.zeros((n, h, h, spec.channels), np.uint8)
+    labels = rng.integers(0, spec.num_classes, size=n).astype(np.int32)
+    yy, xx = np.mgrid[0:h, 0:h]
+    for i in range(n):
+        lab = labels[i]
+        cy = (lab * 7919 % (h - 8)) + 4
+        cx = (lab * 104729 % (h - 8)) + 4
+        r = 3 + lab % 5
+        blob = ((np.abs(yy - cy) < r) & (np.abs(xx - cx) < r)).astype(np.float32)
+        noise = rng.random((h, h)) * 0.3
+        img = np.clip(blob * 0.7 + noise, 0, 1)
+        for c in range(spec.channels):
+            imgs[i, :, :, c] = (img * 255).astype(np.uint8)
+    return ArrayDataset(imgs, labels, augment=augment)
+
+
+def get_dataset(name: str, root: Optional[str], train: bool,
+                synthetic_size: Optional[int] = None) -> tuple[ArrayDataset, DatasetSpec]:
+    spec = SPECS[name]
+    if root in (None, "synthetic"):
+        n = synthetic_size or (512 if train else 256)
+        return synthetic_dataset(spec, n, seed=0 if train else 1,
+                                 augment=None), spec
+    if name == "mnist":
+        return load_mnist(root, train), spec
+    if name == "cifar100":
+        return load_cifar100(root, train), spec
+    if name == "tiny_imagenet":
+        sub = os.path.join(root, "train" if train else "val")
+        return load_image_folder(sub, spec.image_size,
+                                 augment=hflip_batch if train else None), spec
+    if name == "imagenet":
+        sub = os.path.join(root, "train" if train else "val")
+        return load_image_folder(sub, spec.image_size,
+                                 augment=hflip_batch if train else None), spec
+    raise ValueError(name)

@@ -1,0 +1,227 @@
+"""ResNet zoo: plain / EE / EE_square / feature-denoising variants.
+
+Parity targets: Tiny_ImageNet/models_tinyimagenet/resnet*.py and
+ImageNet/models_imagenet/resnet*.py — torchvision-style ResNet-18/34/50/101/
+152 with 7x7 s2 stem, 3x3 s2 maxpool, BasicBlock/Bottleneck, global average
+pool, fc; conv init normal(0, sqrt(2/fan_out)), BN gamma=1 beta=0
+(resnet.py:119-130 init loop). The TinyIN AdaptiveAvgPool2d(1) and ImageNet
+AvgPool2d(7) heads both reduce to a global spatial mean at their native
+resolutions; we use the global mean.
+
+The `_EE`/`_EE_square` variants prepend the edge-enhancement front-end
+(resnet_EE.py:176-191) — HFS radius/thresholds from the config, Canny on the
+clean input, optional Add_Square on the HFS branch.
+
+`ResNet_fd` adds a non-local dot-product denoising block after every layer
+group (resnet_fd.py:105-222, embed=False softmax=False): both reference
+einsum paths reduce to f = theta * Gram(phi, g) / (H*W) with
+theta=phi=g=x, followed by a 1x1 conv + BN residual add — expressed here as
+two MXU einsums over the channel Gram matrix.
+
+Layout NHWC; BatchNorm momentum 0.9 (= torch 0.1), eps 1e-5.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .ee_frontend import EEConfig, ee_frontend
+
+conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+Conv = partial(nn.Conv, use_bias=False, kernel_init=conv_init)
+
+
+def batch_norm(train: bool, name=None):
+    return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                        epsilon=1e-5, name=name)
+
+
+def max_pool_3x3_s2(x):
+    return nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    expansion = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        out = Conv(self.planes, (3, 3), strides=(self.stride,) * 2, padding=1)(x)
+        out = batch_norm(train)(out)
+        out = nn.relu(out)
+        out = Conv(self.planes, (3, 3), padding=1)(out)
+        out = batch_norm(train)(out)
+        if self.stride != 1 or x.shape[-1] != self.planes:
+            residual = Conv(self.planes, (1, 1), strides=(self.stride,) * 2)(x)
+            residual = batch_norm(train)(residual)
+        return nn.relu(out + residual)
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    expansion = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        out = Conv(self.planes, (1, 1))(x)
+        out = nn.relu(batch_norm(train)(out))
+        out = Conv(self.planes, (3, 3), strides=(self.stride,) * 2, padding=1)(out)
+        out = nn.relu(batch_norm(train)(out))
+        out = Conv(self.planes * 4, (1, 1))(out)
+        out = batch_norm(train)(out)
+        if self.stride != 1 or x.shape[-1] != self.planes * 4:
+            residual = Conv(self.planes * 4, (1, 1), strides=(self.stride,) * 2)(x)
+            residual = batch_norm(train)(residual)
+        return nn.relu(out + residual)
+
+
+class DenoisingBlock(nn.Module):
+    """Non-local means denoising, dot-product version (embed=False,
+    softmax=False): f = x . Gram(x, x) / (H*W) -> 1x1 conv -> BN -> x + f."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        n, h, w, c = x.shape
+        gram = jnp.einsum("nhwi,nhwj->nij", x, x,
+                          preferred_element_type=jnp.float32)
+        f = jnp.einsum("nhwi,nij->nhwj", x, gram,
+                       preferred_element_type=jnp.float32) / (h * w)
+        f = f.astype(x.dtype)
+        f = nn.Conv(c, (1, 1), use_bias=True, kernel_init=conv_init)(f)
+        f = batch_norm(train)(f)
+        return x + f
+
+
+class ResNet(nn.Module):
+    """Plain / EE / EE_square / FD ResNet, selected by flags."""
+    block: Any                       # BasicBlock | Bottleneck
+    layers: Sequence[int]
+    num_classes: int = 200
+    ee: Optional[EEConfig] = None
+    denoise: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.ee is not None:
+            square_key = self.make_rng("square") if self.ee.square else None
+            x = ee_frontend(x, self.ee, square_key)
+
+        x = Conv(64, (7, 7), strides=(2, 2), padding=3)(x)
+        x = nn.relu(batch_norm(train)(x))
+        x = max_pool_3x3_s2(x)
+
+        for group, (planes, blocks) in enumerate(zip((64, 128, 256, 512), self.layers)):
+            for i in range(blocks):
+                stride = 2 if (group > 0 and i == 0) else 1
+                x = self.block(planes, stride)(x, train)
+            if self.denoise:
+                x = DenoisingBlock()(x, train)
+
+        x = jnp.mean(x, axis=(1, 2))
+        return nn.Dense(self.num_classes)(x)
+
+
+_LAYOUTS = {18: (BasicBlock, (2, 2, 2, 2)), 34: (BasicBlock, (3, 4, 6, 3)),
+            50: (Bottleneck, (3, 4, 6, 3)), 101: (Bottleneck, (3, 4, 23, 3)),
+            152: (Bottleneck, (3, 8, 36, 3))}
+
+
+def resnet(depth: int, num_classes: int = 200, ee: Optional[EEConfig] = None,
+           denoise: bool = False) -> ResNet:
+    if depth not in _LAYOUTS:
+        raise NotImplementedError(
+            f"resnet depth {depth}; supported: {sorted(_LAYOUTS)}")
+    block, layers = _LAYOUTS[depth]
+    return ResNet(block=block, layers=layers, num_classes=num_classes,
+                  ee=ee, denoise=denoise)
+
+
+class PreActBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    expansion = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        out = nn.relu(batch_norm(train)(x))
+        needs_proj = self.stride != 1 or x.shape[-1] != self.planes
+        # pre-act shortcut projects the POST-activation tensor (preactresnet.py:31-33)
+        shortcut = (Conv(self.planes, (1, 1), strides=(self.stride,) * 2)(out)
+                    if needs_proj else x)
+        out = Conv(self.planes, (3, 3), strides=(self.stride,) * 2, padding=1)(out)
+        out = Conv(self.planes, (3, 3), padding=1)(nn.relu(batch_norm(train)(out)))
+        return out + shortcut
+
+
+class PreActBottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    expansion = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        out = nn.relu(batch_norm(train)(x))
+        needs_proj = self.stride != 1 or x.shape[-1] != self.planes * 4
+        shortcut = (Conv(self.planes * 4, (1, 1), strides=(self.stride,) * 2)(out)
+                    if needs_proj else x)
+        out = Conv(self.planes, (1, 1))(out)
+        out = Conv(self.planes, (3, 3), strides=(self.stride,) * 2, padding=1)(
+            nn.relu(batch_norm(train)(out)))
+        out = Conv(self.planes * 4, (1, 1))(nn.relu(batch_norm(train)(out)))
+        return out + shortcut
+
+
+class PreActResNet(nn.Module):
+    """Pre-activation ResNet with the AWP drivers' dataset-specific stems
+    (AWP/*/models_*/preactresnet.py:68-155): CIFAR uses a 3x3 stem with no
+    BN/pool; ImageNet/Tiny-ImageNet use the 7x7 stem + maxpool. A final
+    BN+relu precedes the pool in all variants (preactresnet.py:143-144)."""
+    block: Any
+    layers: Sequence[int]
+    num_classes: int = 200
+    dataset: str = "Tiny-ImageNet"   # CIFAR10 | CIFAR100 | ImageNet | Tiny-ImageNet
+    ee: Optional[EEConfig] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.ee is not None:
+            square_key = self.make_rng("square") if self.ee.square else None
+            x = ee_frontend(x, self.ee, square_key)
+
+        if self.dataset.startswith("CIFAR"):
+            x = Conv(64, (3, 3), padding=1)(x)
+        else:
+            x = Conv(64, (7, 7), strides=(2, 2), padding=3)(x)
+            x = nn.relu(batch_norm(train)(x))
+            x = max_pool_3x3_s2(x)
+
+        for group, (planes, blocks) in enumerate(zip((64, 128, 256, 512), self.layers)):
+            for i in range(blocks):
+                stride = 2 if (group > 0 and i == 0) else 1
+                x = self.block(planes, stride)(x, train)
+
+        x = nn.relu(batch_norm(train)(x))
+        x = jnp.mean(x, axis=(1, 2))
+        return nn.Dense(self.num_classes)(x)
+
+
+def preact_resnet(depth: int, dataset: str = "Tiny-ImageNet",
+                  ee: Optional[EEConfig] = None) -> PreActResNet:
+    block_map = {18: (PreActBlock, (2, 2, 2, 2)), 34: (PreActBlock, (3, 4, 6, 3)),
+                 50: (PreActBottleneck, (3, 4, 6, 3)),
+                 101: (PreActBottleneck, (3, 4, 23, 3)),
+                 152: (PreActBottleneck, (3, 8, 36, 3))}
+    block, layers = block_map[depth]
+    nclass = {"CIFAR10": 10, "CIFAR100": 100, "ImageNet": 1000,
+              "Tiny-ImageNet": 200}[dataset]
+    return PreActResNet(block=block, layers=layers, num_classes=nclass,
+                        dataset=dataset, ee=ee)

@@ -1,0 +1,133 @@
+"""TrainState + jitted train/eval steps.
+
+One train step = (adversarial example generation + parameter update) fused in
+a single XLA program: the PGD inner loop (`lax.fori_loop` over forward+VJP),
+the objective loss, the parameter gradient, and the SGD update all compile
+together — the reference's hot loop #1 (SURVEY.md section 3) with zero
+host round-trips per batch.
+
+Data parallelism: steps are jitted with parameters/state replicated and the
+batch sharded over the mesh 'data' axis (see parallel/mesh.py). BatchNorm
+batch statistics reduce over the global batch (SyncBN parity); gradient
+all-reduce is inserted by XLA.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..attacks.cw import CWConfig, cw_linf
+from ..attacks.pgd import PGDConfig, fgsm, pgd_linf
+from ..objectives.methods import MethodConfig, Objective
+from ..parallel import mesh as meshlib
+from .modelops import ModelOps, cross_entropy, topk_accuracy
+from .sgd import init_momentum, sgd_update
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    momentum_buf: Any
+    step: jnp.ndarray  # global step counter
+
+
+def create_train_state(ops: ModelOps, key: jax.Array, sample_x) -> TrainState:
+    params, batch_stats = ops.init(key, sample_x)
+    return TrainState(params=params, batch_stats=batch_stats,
+                      momentum_buf=init_momentum(params),
+                      step=jnp.zeros((), jnp.int32))
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimConfig:
+    momentum: float = 0.9
+    weight_decay: float = 0.0
+
+
+def build_train_step(ops: ModelOps, method: MethodConfig, opt: OptimConfig,
+                     mesh=None, donate: bool = False) -> Callable:
+    """Returns jitted step(state, x, y, key, lr) -> (state, metrics)."""
+    objective = Objective(ops, method)
+
+    def step_fn(state: TrainState, x, y, key, lr):
+        (loss, (bs, logits)), grads = jax.value_and_grad(
+            objective.loss, has_aux=True)(state.params, state.batch_stats, x, y, key)
+        new_params, new_buf = sgd_update(
+            state.params, grads, state.momentum_buf, lr=lr,
+            momentum=opt.momentum, weight_decay=opt.weight_decay)
+        new_state = TrainState(params=new_params, batch_stats=bs,
+                               momentum_buf=new_buf, step=state.step + 1)
+        metrics = {"loss": loss, **topk_accuracy(logits, y)}
+        return new_state, metrics
+
+    donate_kw = {"donate_argnums": (0,)} if donate else {}
+    if mesh is None:
+        return jax.jit(step_fn, **donate_kw)
+    rep = meshlib.replicated(mesh)
+    dat = meshlib.batch_sharding(mesh)
+    return jax.jit(step_fn, in_shardings=(rep, dat, dat, rep, rep),
+                   out_shardings=(rep, rep), **donate_kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalAttackConfig:
+    """Validation attack battery entry (reference validate(), e.g.
+    MNIST/experiments_mnist.py:271-357: model.eval(), PGD/FGSM/CW)."""
+    attack_method: str = "PGD"     # PGD | FGSM | CW | none
+    epsilon: float = 8.0 / 255
+    num_steps: int = 10
+    step_size: float = 2.0 / 255
+    random: bool = True
+    num_classes: int = 10
+    cw_iters: int = 20
+
+
+def build_eval_step(ops: ModelOps, atk: EvalAttackConfig, mesh=None) -> Callable:
+    """Returns jitted eval(state, x, y, key) -> metrics with clean_/adv_ keys.
+    Model runs in eval mode throughout (reference validate())."""
+
+    def eval_loss(params, batch_stats, labels):
+        def loss_fn(x, _aux, key):
+            logits = ops.logits_eval(params, batch_stats, x, key)
+            return cross_entropy(logits, labels, "sum"), _aux
+        return loss_fn
+
+    def eval_fn(state: TrainState, x, y, key):
+        key_clean, key_atk, key_adv = jax.random.split(key, 3)
+        clean_logits = ops.logits_eval(state.params, state.batch_stats, x, key_clean)
+        metrics = {"clean_loss": cross_entropy(clean_logits, y),
+                   **{f"clean_{k}": v for k, v in topk_accuracy(clean_logits, y).items()}}
+        if atk.attack_method == "none":
+            return metrics
+        if atk.attack_method == "PGD":
+            pcfg = PGDConfig(atk.epsilon, atk.num_steps, atk.step_size,
+                             random_init=("uniform" if atk.random else "none"))
+            x_adv, _ = pgd_linf(eval_loss(state.params, state.batch_stats, y),
+                                x, key_atk, pcfg)
+        elif atk.attack_method == "FGSM":
+            x_adv, _ = fgsm(eval_loss(state.params, state.batch_stats, y),
+                            x, key_atk, step_size=atk.step_size)
+        elif atk.attack_method == "CW":
+            fwd = lambda xx, kk: ops.logits_eval(state.params, state.batch_stats, xx, kk)
+            ccfg = CWConfig(magnitude=atk.epsilon, max_eps=atk.epsilon,
+                            max_iters=atk.cw_iters, num_classes=atk.num_classes)
+            x_adv, _ = cw_linf(fwd, x, y, key_atk, ccfg)
+        else:
+            raise NotImplementedError(atk.attack_method)
+        adv_logits = ops.logits_eval(state.params, state.batch_stats, x_adv, key_adv)
+        metrics.update({"adv_loss": cross_entropy(adv_logits, y),
+                        **{f"adv_{k}": v for k, v in topk_accuracy(adv_logits, y).items()}})
+        return metrics
+
+    if mesh is None:
+        return jax.jit(eval_fn)
+    rep = meshlib.replicated(mesh)
+    dat = meshlib.batch_sharding(mesh)
+    return jax.jit(eval_fn, in_shardings=(rep, dat, dat, rep), out_shardings=rep)

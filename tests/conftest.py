@@ -7,13 +7,18 @@ unchanged on a real TPU mesh).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = os.environ.get("EE_TEST_PLATFORM", "cpu")
 
 import jax  # noqa: E402
 
+# Force CPU regardless of the ambient platform: this image ships an
+# `axon.register` import hook that force-appends the tunnelled TPU platform
+# to jax_platforms during `import jax`, overriding the env var — so the
+# config must be re-set AFTER the import. EE_TEST_PLATFORM overrides.
+jax.config.update("jax_platforms", os.environ.get("EE_TEST_PLATFORM", "cpu"))
 jax.config.update("jax_default_matmul_precision", "highest")

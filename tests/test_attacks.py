@@ -1,0 +1,139 @@
+"""Attack-layer tests: projection invariants, monotone loss increase,
+targeted semantics, APGD/Square suite behavior on a toy model."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from flax import linen as nn
+
+from edge_enhancement_tpu.attacks.autoattack import (APGDConfig, SquareConfig,
+                                                     apgd, run_autoattack,
+                                                     square_attack)
+from edge_enhancement_tpu.attacks.cw import CWConfig, cw_linf
+from edge_enhancement_tpu.attacks.pgd import (PGDConfig, fgsm, pgd_l2,
+                                              pgd_linf, random_targets)
+from edge_enhancement_tpu.train.modelops import cross_entropy
+
+
+class Tiny(nn.Module):
+    nclass: int = 4
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = x.reshape((x.shape[0], -1))
+        return nn.Dense(self.nclass)(x)
+
+
+@pytest.fixture(scope="module")
+def toy():
+    model = Tiny()
+    x = jax.random.uniform(jax.random.PRNGKey(0), (8, 6, 6, 1))
+    y = jnp.arange(8) % 4
+    params = model.init(jax.random.PRNGKey(1), x)
+    fwd = lambda xx, kk: model.apply(params, xx)
+    return fwd, x, y
+
+
+def loss_closure(fwd, y):
+    def loss_fn(x, aux, key):
+        return cross_entropy(fwd(x, key), y, "sum"), aux
+    return loss_fn
+
+
+class TestPGD:
+    def test_ball_and_range_invariant(self, toy):
+        fwd, x, y = toy
+        cfg = PGDConfig(epsilon=0.1, num_steps=5, step_size=0.03)
+        x_adv, _ = pgd_linf(loss_closure(fwd, y), x, jax.random.PRNGKey(2), cfg)
+        d = np.asarray(x_adv - x)
+        assert np.abs(d).max() <= 0.1 + 1e-6
+        assert float(x_adv.min()) >= 0 and float(x_adv.max()) <= 1
+
+    def test_loss_increases(self, toy):
+        fwd, x, y = toy
+        cfg = PGDConfig(epsilon=0.2, num_steps=10, step_size=0.05,
+                        random_init="none")
+        x_adv, _ = pgd_linf(loss_closure(fwd, y), x, jax.random.PRNGKey(3), cfg)
+        l0 = float(cross_entropy(fwd(x, None), y, "sum"))
+        l1 = float(cross_entropy(fwd(x_adv, None), y, "sum"))
+        assert l1 > l0
+
+    def test_targeted_descends(self, toy):
+        fwd, x, y = toy
+        tgt = random_targets(jax.random.PRNGKey(4), y, 4)
+        assert not bool(jnp.any(tgt == y))
+        cfg = PGDConfig(epsilon=0.3, num_steps=10, step_size=0.05,
+                        random_init="none", ascend=False)
+        x_adv, _ = pgd_linf(loss_closure(fwd, tgt), x, jax.random.PRNGKey(5), cfg)
+        l0 = float(cross_entropy(fwd(x, None), tgt, "sum"))
+        l1 = float(cross_entropy(fwd(x_adv, None), tgt, "sum"))
+        assert l1 < l0  # target CE decreases
+
+    def test_l2_ball_invariant(self, toy):
+        fwd, x, y = toy
+        cfg = PGDConfig(epsilon=0.05, num_steps=5, step_size=0.02,
+                        random_init="gaussian")
+        x_adv, _ = pgd_l2(loss_closure(fwd, y), x, jax.random.PRNGKey(6), cfg)
+        d = np.asarray(x_adv - x).reshape(8, -1)
+        norms = np.sqrt((d ** 2).mean(axis=1))  # reference mean-style norm
+        assert (norms <= 0.05 + 1e-5).all()
+
+    def test_fgsm_no_projection_but_clamped(self, toy):
+        fwd, x, y = toy
+        x_adv, _ = fgsm(loss_closure(fwd, y), x, jax.random.PRNGKey(7),
+                        step_size=0.3)
+        assert float(x_adv.min()) >= 0 and float(x_adv.max()) <= 1
+
+
+class TestCW:
+    def test_ball_invariant_and_p_tracking(self, toy):
+        fwd, x, y = toy
+        cfg = CWConfig(magnitude=0.1, max_eps=0.1, max_iters=5, num_classes=4)
+        x_adv, p = cw_linf(fwd, x, y, jax.random.PRNGKey(8), cfg)
+        assert np.abs(np.asarray(x_adv - x)).max() <= 0.1 + 1e-5
+        # p is the realised perturbation on attacked samples
+        pred = jnp.argmax(fwd(x, None), -1)
+        active = np.asarray(pred == y)
+        d = np.asarray(x_adv - x)
+        np.testing.assert_allclose(np.asarray(p)[active], d[active], atol=1e-6)
+        assert (np.asarray(p)[~active] == 0).all()
+
+
+class TestAPGD:
+    def test_ball_invariant_and_stronger_than_clean(self, toy):
+        fwd, x, y = toy
+        cfg = APGDConfig(epsilon=0.15, num_steps=20, num_classes=4)
+        x_adv = apgd(fwd, x, y, jax.random.PRNGKey(9), cfg)
+        assert np.abs(np.asarray(x_adv - x)).max() <= 0.15 + 1e-5
+        l0 = float(cross_entropy(fwd(x, None), y, "sum"))
+        l1 = float(cross_entropy(fwd(x_adv, None), y, "sum"))
+        assert l1 >= l0
+
+    def test_targeted_variant_runs(self, toy):
+        fwd, x, y = toy
+        tgt = (y + 1) % 4
+        cfg = APGDConfig(epsilon=0.15, num_steps=15, num_classes=4)
+        x_adv = apgd(fwd, x, y, jax.random.PRNGKey(10), cfg, y_target=tgt)
+        assert np.isfinite(np.asarray(x_adv)).all()
+
+
+class TestSquare:
+    def test_ball_invariant_and_margin_never_worse(self, toy):
+        fwd, x, y = toy
+        cfg = SquareConfig(epsilon=0.2, n_queries=20, num_classes=4)
+        x_adv = square_attack(fwd, x, y, jax.random.PRNGKey(11), cfg)
+        assert np.abs(np.asarray(x_adv - x)).max() <= 0.2 + 1e-5
+        assert float(x_adv.min()) >= 0 and float(x_adv.max()) <= 1
+
+
+class TestSuite:
+    def test_robust_acc_monotone(self, toy):
+        fwd, x, y = toy
+        x_adv = run_autoattack(fwd, x, y, jax.random.PRNGKey(12),
+                               epsilon=0.2, num_classes=4, apgd_steps=10,
+                               square_queries=10, n_target_classes=1)
+        acc_clean = float(jnp.mean((jnp.argmax(fwd(x, None), -1) == y)))
+        acc_adv = float(jnp.mean((jnp.argmax(fwd(x_adv, None), -1) == y)))
+        assert acc_adv <= acc_clean
+        assert np.abs(np.asarray(x_adv - x)).max() <= 0.2 + 1e-5

@@ -1,0 +1,172 @@
+"""End-to-end MNIST slice: every training objective runs a jitted fused
+attack+update step, loss decreases under ST, metrics/eval battery work, and
+the whole thing shards over the 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from edge_enhancement_tpu.data.datasets import SPECS, get_dataset
+from edge_enhancement_tpu.models.cnn_mnist import net2, net2_ee, net2_ee_square
+from edge_enhancement_tpu.objectives.methods import MethodConfig, canonical_method
+from edge_enhancement_tpu.parallel import mesh as meshlib
+from edge_enhancement_tpu.train.modelops import ModelOps
+from edge_enhancement_tpu.train.trainer import (EvalAttackConfig, OptimConfig,
+                                                build_eval_step, build_train_step,
+                                                create_train_state)
+
+
+def make_batch(bs=8, seed=0):
+    ds, _ = get_dataset("mnist", None, True, synthetic_size=64)
+    x, y = next(ds.batches(bs, shuffle=True, seed=seed))
+    return jnp.asarray(x), jnp.asarray(y)
+
+
+@pytest.fixture(scope="module")
+def mnist_state():
+    ops = ModelOps(net2())
+    x, _ = make_batch()
+    state = create_train_state(ops, jax.random.PRNGKey(0), x[:1])
+    return ops, state
+
+
+class TestCanonicalMethod:
+    def test_mapping(self):
+        assert canonical_method("ST") == "st"
+        assert canonical_method("AT") == "at"
+        assert canonical_method("EE_AT") == "at"
+        assert canonical_method("EE_BPDA3_AT_square") == "at"
+        assert canonical_method("EE_BPDA3_AT_pre_square") == "at"
+        assert canonical_method("tarAT") == "tar_at"
+        assert canonical_method("tarEE_BPDA3_AT_square") == "tar_at"
+        assert canonical_method("tarEE_trick") == "tar_at_trick"
+        assert canonical_method("tarFD_trick") == "tar_at_trick"
+        assert canonical_method("ALP") == "alp"
+        assert canonical_method("tarALP") == "tar_alp"
+        assert canonical_method("TRADES") == "trades"
+        assert canonical_method("AVmixup") == "avmixup"
+        assert canonical_method("tarAVmixup") == "tar_avmixup"
+
+
+class TestTrainSteps:
+    @pytest.mark.parametrize("method", ["ST", "AT", "tarAT", "ALP", "TRADES",
+                                        "AVmixup", "tarAVmixup", "tarEE_trick"])
+    def test_objective_step_runs(self, mnist_state, method):
+        ops, state = mnist_state
+        mcfg = MethodConfig(method_name=method, epsilon=0.3, num_steps=2,
+                            step_size=0.01, num_classes=10, label_smooth=0.1)
+        step = build_train_step(ops, mcfg, OptimConfig(momentum=0.9, weight_decay=1e-4))
+        x, y = make_batch()
+        new_state, metrics = step(state, x, y, jax.random.PRNGKey(1), jnp.float32(0.1))
+        assert np.isfinite(float(metrics["loss"]))
+        assert 0.0 <= float(metrics["top1"]) <= 100.0
+        # params actually moved
+        diff = jax.tree.reduce(
+            lambda a, b: a + b,
+            jax.tree.map(lambda p, q: float(jnp.abs(p - q).sum()),
+                         state.params, new_state.params))
+        assert diff > 0
+
+    def test_st_loss_decreases(self, mnist_state):
+        ops, _ = mnist_state
+        x, y = make_batch(bs=16)
+        state = create_train_state(ops, jax.random.PRNGKey(2), x[:1])
+        mcfg = MethodConfig(method_name="ST", num_classes=10)
+        step = build_train_step(ops, mcfg, OptimConfig(momentum=0.9))
+        losses = []
+        key = jax.random.PRNGKey(3)
+        for i in range(20):
+            key, k = jax.random.split(key)
+            state, m = step(state, x, y, k, jnp.float32(0.05))
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0] * 0.7, losses
+
+    def test_at_increases_robustness_structure(self, mnist_state):
+        # The PGD-adv loss on the attack batch must be >= the clean loss
+        # (the attack maximises CE).
+        ops, state = mnist_state
+        x, y = make_batch(bs=16)
+        eval_clean = build_eval_step(ops, EvalAttackConfig("none"))
+        eval_pgd = build_eval_step(ops, EvalAttackConfig("PGD", epsilon=0.3,
+                                                         num_steps=5, step_size=0.1))
+        m_c = eval_clean(state, x, y, jax.random.PRNGKey(4))
+        m_a = eval_pgd(state, x, y, jax.random.PRNGKey(4))
+        assert float(m_a["adv_loss"]) >= float(m_c["clean_loss"]) - 1e-5
+
+
+class TestEEModels:
+    def test_ee_square_step(self):
+        ops = ModelOps(net2_ee_square(r=4, low=25., high=51., alpha=0.3,
+                                      type_canny="CannyFilter_step125_1",
+                                      epsilon=0.3, n_queries=1))
+        x, y = make_batch()
+        state = create_train_state(ops, jax.random.PRNGKey(5), x[:1])
+        mcfg = MethodConfig(method_name="EE_BPDA3_AT_square", epsilon=0.3,
+                            num_steps=2, step_size=0.01, num_classes=10)
+        step = build_train_step(ops, mcfg, OptimConfig(momentum=0.3, weight_decay=1e-4))
+        state, m = step(state, x, y, jax.random.PRNGKey(6), jnp.float32(0.1))
+        assert np.isfinite(float(m["loss"]))
+
+    def test_ee_full_canny_model(self):
+        ops = ModelOps(net2_ee(r=8, low=60., high=120.))
+        x, y = make_batch()
+        state = create_train_state(ops, jax.random.PRNGKey(7), x[:1])
+        logits = ops.logits_eval(state.params, state.batch_stats, x,
+                                 jax.random.PRNGKey(8))
+        assert logits.shape == (x.shape[0], 10)
+        assert np.isfinite(np.asarray(logits)).all()
+
+
+class TestEvalBattery:
+    @pytest.mark.parametrize("attack", ["PGD", "FGSM", "CW"])
+    def test_attacks_stay_in_ball(self, mnist_state, attack):
+        ops, state = mnist_state
+        x, y = make_batch()
+        ev = build_eval_step(ops, EvalAttackConfig(attack, epsilon=0.3,
+                                                   num_steps=3, step_size=0.1))
+        m = ev(state, x, y, jax.random.PRNGKey(9))
+        for k, v in m.items():
+            assert np.isfinite(float(v)), (k, v)
+
+
+class TestDataParallel:
+    def test_step_on_8_device_mesh(self, mnist_state):
+        ops, _ = mnist_state
+        mesh = meshlib.make_mesh()
+        assert mesh.devices.size == 8
+        x, y = make_batch(bs=16)
+        state = create_train_state(ops, jax.random.PRNGKey(10), x[:1])
+        state = meshlib.replicate(mesh, state)
+        xb, yb = meshlib.shard_batch(mesh, (np.asarray(x), np.asarray(y)))
+        mcfg = MethodConfig(method_name="AT", epsilon=0.3, num_steps=2,
+                            step_size=0.01, num_classes=10)
+        step = build_train_step(ops, mcfg, OptimConfig(momentum=0.9), mesh=mesh)
+        new_state, m = step(state, xb, yb,
+                            jax.random.PRNGKey(11), jnp.float32(0.1))
+        assert np.isfinite(float(m["loss"]))
+
+    def test_sharded_matches_single_device(self, mnist_state):
+        # The sharded ST step must produce numerically close params to the
+        # unsharded one (same global batch, deterministic keys; ST avoids
+        # attack-loop RNG order effects).
+        ops, _ = mnist_state
+        x, y = make_batch(bs=16)
+        mcfg = MethodConfig(method_name="ST", num_classes=10)
+
+        state1 = create_train_state(ops, jax.random.PRNGKey(12), x[:1])
+        step1 = build_train_step(ops, mcfg, OptimConfig(momentum=0.9))
+        s1, m1 = step1(state1, x, y, jax.random.PRNGKey(13), jnp.float32(0.1))
+
+        mesh = meshlib.make_mesh()
+        state2 = create_train_state(ops, jax.random.PRNGKey(12), x[:1])
+        state2 = meshlib.replicate(mesh, state2)
+        xb, yb = meshlib.shard_batch(mesh, (np.asarray(x), np.asarray(y)))
+        step2 = build_train_step(ops, mcfg, OptimConfig(momentum=0.9), mesh=mesh)
+        s2, m2 = step2(state2, xb, yb, jax.random.PRNGKey(13), jnp.float32(0.1))
+
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+        l1 = jax.tree.leaves(s1.params)
+        l2 = jax.tree.leaves(s2.params)
+        for a, b in zip(l1, l2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -1,0 +1,208 @@
+#!/usr/bin/env python
+"""Unified training/eval entry point for edge_enhancement_tpu.
+
+One driver for every dataset x method x arch combination the reference
+spreads over nine scripts (experiments_mnist.py, experiments_tinyimagenet.py,
+experiments_imagenet.py, the AWP/free/fast drivers):
+
+    python train.py --config edge_enhancement_tpu/configs/mnist/ee_at_bpda3_square.yml \
+        --data /path/to/mnist            # or --data synthetic
+    python train.py --config ... --evaluate --resume <ckpt_dir>
+
+Parallelism: the train/eval steps are jitted over a `jax.sharding.Mesh` of
+all local devices with the batch sharded on the 'data' axis — single-chip,
+multi-chip, and (via jax.distributed) multi-host all run this same program.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from edge_enhancement_tpu.data.datasets import get_dataset
+from edge_enhancement_tpu.models.registry import build_model
+from edge_enhancement_tpu.objectives.methods import MethodConfig
+from edge_enhancement_tpu.objectives.awp import AWPConfig, build_awp_train_step
+from edge_enhancement_tpu.parallel import mesh as meshlib
+from edge_enhancement_tpu.train import checkpoint as ckpt
+from edge_enhancement_tpu.train.modelops import ModelOps
+from edge_enhancement_tpu.train import schedules
+from edge_enhancement_tpu.train.trainer import (EvalAttackConfig, OptimConfig,
+                                                build_eval_step,
+                                                build_train_step,
+                                                create_train_state)
+from edge_enhancement_tpu.utils.config import base_parser, load_config
+from edge_enhancement_tpu.utils.meters import (AverageMeter, Logger,
+                                               adv_summary, clean_summary,
+                                               train_line)
+
+
+def make_method_config(cfg, num_classes: int) -> MethodConfig:
+    return MethodConfig(
+        method_name=cfg["method_name"],
+        epsilon=float(cfg.get("epsilon", 8 / 255)),
+        num_steps=int(cfg.get("num_steps_1", 10)),
+        step_size=float(cfg.get("step_size_1", 2 / 255)),
+        random=bool(cfg.get("random", True)),
+        beta=float(cfg.get("beta", 1.0)),
+        num_classes=num_classes,
+        label_smooth=float(cfg.get("label_smooth", 0.0)),
+        prob_start_from_clean=float(cfg.get("prob_start_from_clean", 0.0)),
+        pre_square="pre_square" in cfg["method_name"],
+        square_epsilon=float(cfg.get("epsilon", 0.05)),
+        square_n_queries=int(cfg.get("n_queries", 1)),
+    )
+
+
+def epoch_lr(cfg, epoch: int) -> float:
+    name = cfg.get("lr_schedule", "piecewise_50_75")
+    lr0 = float(cfg["lr"])
+    if name == "multistep":
+        return schedules.multistep(lr0, epoch, tuple(cfg.get("milestones", (50, 80))))
+    if name == "step30":
+        return schedules.step30(lr0, epoch)
+    if name == "step30_free":
+        return schedules.step30_free(lr0, epoch, int(cfg.get("n_repeats", 4)))
+    return schedules.piecewise_50_75(lr0, epoch, int(cfg["epochs"]))
+
+
+def run_validation(log, eval_step, mesh, state, ds, cfg, *, num_steps, step_size,
+                   limit=None):
+    clean1, clean5, adv1, adv5 = (AverageMeter() for _ in range(4))
+    key = jax.random.PRNGKey(int(cfg.get("seed", 1)) + 777)
+    for i, (x, y) in enumerate(ds.batches(int(cfg["batch_size"]), shuffle=False,
+                                          seed=0)):
+        if limit is not None and i >= limit:
+            break
+        key, k = jax.random.split(key)
+        xb, yb = meshlib.shard_batch(mesh, (x, y))
+        m = jax.device_get(eval_step(state, xb, yb, k))
+        clean1.update(m["clean_top1"], len(y)); clean5.update(m["clean_top5"], len(y))
+        if "adv_top1" in m:
+            adv1.update(m["adv_top1"], len(y)); adv5.update(m["adv_top5"], len(y))
+    log(clean_summary(clean1, clean5))
+    if adv1.count:
+        log(adv_summary(adv1, adv5))
+    return clean1.avg, adv1.avg
+
+
+def main():
+    args = base_parser().parse_args()
+    cfg = load_config(args.config, vars(args))
+    dataset_name = cfg["dataset"]
+    seed = int(cfg.get("seed", 1))
+
+    train_ds, spec = get_dataset(dataset_name, cfg.get("data"), train=True)
+    val_ds, _ = get_dataset(dataset_name, cfg.get("data"), train=False)
+    num_classes = spec.num_classes
+
+    model = build_model(cfg["arch"], cfg, num_classes)
+    ops = ModelOps(model)
+    mesh = meshlib.make_mesh()
+
+    run_name = (f"{cfg['method_name']}/{cfg['arch']}-bs{cfg['batch_size']}"
+                f"-lr{cfg['lr']}-seed{seed}")
+    out_dir = os.path.join(cfg.get("output", "output"), dataset_name, run_name)
+    log = Logger(os.path.join(out_dir, "log"))
+    log(f"=> dataset {dataset_name}, arch {cfg['arch']}, method "
+        f"{cfg['method_name']}, devices {mesh.devices.size}")
+
+    # init state
+    sample_x, _ = next(train_ds.batches(2, shuffle=False, seed=0))
+    state = create_train_state(ops, jax.random.PRNGKey(seed),
+                               jnp.asarray(sample_x[:1]))
+    start_epoch, best_prec1 = int(cfg.get("start_epoch", 0)), 0.0
+    if cfg.get("resume"):
+        payload = ckpt.load_checkpoint(cfg["resume"])
+        if payload is not None:
+            state, start_epoch, best_prec1 = ckpt.restore_into_state(state, payload)
+            log(f"=> resumed from {cfg['resume']} (epoch {start_epoch})")
+    state = meshlib.replicate(mesh, state)
+
+    mcfg = make_method_config(cfg, num_classes)
+    opt = OptimConfig(momentum=float(cfg.get("momentum", 0.9)),
+                      weight_decay=float(cfg.get("weight_decay", 0.0))
+                      if mcfg.method_name != "TRADES" else 0.0)
+
+    awp_warmup = None
+    if cfg.get("awp_gamma") is not None:
+        awp = AWPConfig(gamma=float(cfg["awp_gamma"]),
+                        warmup=int(cfg.get("awp_warmup", 0)),
+                        proxy_lr=float(cfg.get("awp_proxy_lr", 0.01)),
+                        l1=float(cfg.get("l1", 0.0)))
+        awp_warmup = awp.warmup
+        train_step = build_awp_train_step(ops, mcfg, opt, awp, mesh=mesh,
+                                          donate=True)
+    else:
+        train_step = build_train_step(ops, mcfg, opt, mesh=mesh, donate=True)
+
+    eval_atk = EvalAttackConfig(
+        attack_method=str(cfg.get("attack_method", "PGD")),
+        epsilon=float(cfg.get("epsilon", 8 / 255)),
+        num_steps=int(cfg.get("num_steps_1", 10)),
+        step_size=float(cfg.get("step_size_1", 2 / 255)),
+        random=bool(cfg.get("random", True)), num_classes=num_classes)
+    eval_step = build_eval_step(ops, eval_atk, mesh=mesh)
+
+    if cfg.get("evaluate"):
+        for tier in ("1", "2", "3"):
+            ns, ss = cfg.get(f"num_steps_{tier}"), cfg.get(f"step_size_{tier}")
+            if ns is None:
+                continue
+            log(f"=> evaluate num_steps:{ns}, step_size:{ss}")
+            es = build_eval_step(ops, EvalAttackConfig(
+                "PGD", float(cfg["epsilon"]), int(ns), float(ss),
+                bool(cfg.get("random", True)), num_classes), mesh=mesh)
+            run_validation(log, es, mesh, state, val_ds, cfg,
+                           num_steps=int(ns), step_size=float(ss),
+                           limit=cfg.get("limit_batches"))
+        return
+
+    batch_size = int(cfg["batch_size"])
+    limit = cfg.get("limit_batches")
+    key = jax.random.PRNGKey(seed)
+    for epoch in range(start_epoch, int(cfg["epochs"])):
+        lr = epoch_lr(cfg, epoch)
+        bt, dt, losses, top1, top5 = (AverageMeter() for _ in range(5))
+        n_batches = len(train_ds) // batch_size
+        end = time.time()
+        for i, (x, y) in enumerate(train_ds.batches(batch_size, shuffle=True,
+                                                    seed=seed, epoch=epoch)):
+            if limit is not None and i >= limit:
+                break
+            dt.update(time.time() - end)
+            key, k = jax.random.split(key)
+            xb, yb = meshlib.shard_batch(mesh, (x, y))
+            if awp_warmup is None:
+                state, metrics = train_step(state, xb, yb, k, jnp.float32(lr))
+            else:
+                awp_on = jnp.float32(1.0 if epoch >= awp_warmup else 0.0)
+                state, metrics = train_step(state, xb, yb, k, jnp.float32(lr),
+                                            awp_on)
+            if i % int(cfg.get("print_freq", 50)) == 0:
+                m = jax.device_get(metrics)
+                losses.update(m["loss"], len(y))
+                top1.update(m["top1"], len(y)); top5.update(m["top5"], len(y))
+                bt.update(time.time() - end)
+                log(train_line(epoch, i, n_batches, bt, dt, losses, top1, top5))
+            else:
+                bt.update(time.time() - end)
+            end = time.time()
+
+        prec1, _ = run_validation(log, eval_step, mesh, state, val_ds, cfg,
+                                  num_steps=int(cfg.get("num_steps_1", 10)),
+                                  step_size=float(cfg.get("step_size_1", 2 / 255)),
+                                  limit=limit)
+        is_best = prec1 > best_prec1
+        best_prec1 = max(prec1, best_prec1)
+        ckpt.save_checkpoint(os.path.join(out_dir, "ckpt"), jax.device_get(state),
+                             epoch + 1, cfg["arch"], best_prec1, is_best)
+    log(f"=> done. best robust-eval Prec@1 {best_prec1:.3f}")
+
+
+if __name__ == "__main__":
+    main()
