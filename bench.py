@@ -51,18 +51,23 @@ def main():
     lr = jnp.float32(0.1)
     key = jax.random.PRNGKey(1)
 
-    # warmup / compile
+    # Warmup with a REAL host transfer: on the experimental axon platform
+    # block_until_ready returns early — only device_get truly synchronises
+    # (it also absorbs the hidden remote first-execution compile).
     key, k = jax.random.split(key)
     state, m = step(state, xb, yb, k, lr)
-    jax.block_until_ready(m["loss"])
+    float(jax.device_get(m["loss"]))
 
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        key, k = jax.random.split(key)
-        state, m = step(state, xb, yb, k, lr)
-    jax.block_until_ready(m["loss"])
-    dt = (time.perf_counter() - t0) / iters
+    # Timed segments, each ended by a true device_get sync.
+    seg, n_segs, times = 5, 3, []
+    for _ in range(n_segs):
+        t0 = time.perf_counter()
+        for _ in range(seg):
+            key, k = jax.random.split(key)
+            state, m = step(state, xb, yb, k, lr)
+        float(jax.device_get(m["loss"]))
+        times.append((time.perf_counter() - t0) / seg)
+    dt = sorted(times)[len(times) // 2]
 
     img_per_sec = batch_size / dt
     print(json.dumps({

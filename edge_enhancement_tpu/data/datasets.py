@@ -22,6 +22,8 @@ from typing import Iterator, Optional
 
 import numpy as np
 
+from . import native
+
 
 @dataclasses.dataclass
 class DatasetSpec:
@@ -70,11 +72,14 @@ class ArrayDataset:
         idx = idx[process_index::process_count]
         stop = (len(idx) // batch_size) * batch_size if drop_last else len(idx)
         for s in range(0, stop, batch_size):
-            take = idx[s:s + batch_size]
-            imgs = self.images[take]
+            take = idx[s:s + batch_size].astype(np.int64)
             if self.augment is not None:
+                imgs = native.gather_u8(self.images, take)
                 imgs = self.augment(imgs, rng)
-            yield imgs.astype(np.float32) / 255.0, self.labels[take]
+                yield imgs.astype(np.float32) / 255.0, self.labels[take]
+            else:
+                # fused native gather + uint8 -> float32 [0,1]
+                yield native.gather_to_float(self.images, take), self.labels[take]
 
 
 # --------------------------------------------------------------------------
@@ -83,30 +88,19 @@ class ArrayDataset:
 
 def hflip_batch(imgs: np.ndarray, rng) -> np.ndarray:
     flip = rng.random(len(imgs)) < 0.5
-    out = imgs.copy()
-    out[flip] = out[flip, :, ::-1]
-    return out
+    return native.hflip(imgs, flip)
 
 
 def cifar_augment(imgs: np.ndarray, rng) -> np.ndarray:
-    """RandomCrop(32, padding=4) + hflip + RandomRotation(15)."""
-    n, h, w, c = imgs.shape
-    padded = np.pad(imgs, ((0, 0), (4, 4), (4, 4), (0, 0)), mode="constant")
-    out = np.empty_like(imgs)
-    offs = rng.integers(0, 9, size=(n, 2))
-    for i in range(n):
-        oy, ox = offs[i]
-        out[i] = padded[i, oy:oy + h, ox:ox + w]
-    out = hflip_batch(out, rng)
-    angles = rng.uniform(-15, 15, size=n)
-    try:
-        import scipy.ndimage as ndi
-        for i in range(n):
-            out[i] = ndi.rotate(out[i], angles[i], reshape=False, order=1,
-                                mode="constant")
-    except ImportError:
-        pass
-    return out
+    """RandomCrop(32, padding=4) + hflip + RandomRotation(15), on the native
+    runtime (reference transform order: utils/data_loader.py:32-36)."""
+    n = len(imgs)
+    oy = rng.integers(0, 9, size=n).astype(np.int32)
+    ox = rng.integers(0, 9, size=n).astype(np.int32)
+    out = native.pad_crop(imgs, 4, oy, ox)
+    out = native.hflip(out, rng.random(n) < 0.5)
+    angles = rng.uniform(-15, 15, size=n).astype(np.float32)
+    return native.rotate(out, angles)
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,153 @@
+"""ctypes bindings for the native data runtime (runtime/libeedata.so).
+
+Auto-builds on first import if the shared library is missing and a compiler
+is available; every entry point has a pure-numpy fallback, so the framework
+works without the native library (just slower on the host path).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_RUNTIME_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "runtime")
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    so = os.path.join(_RUNTIME_DIR, "libeedata.so")
+    if not os.path.exists(so):
+        try:
+            import importlib.util
+            spec = importlib.util.spec_from_file_location(
+                "ee_runtime_build", os.path.join(_RUNTIME_DIR, "build.py"))
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            mod.build(verbose=False)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return None
+
+    i64 = ctypes.c_int64
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+
+    lib.ee_gather_to_float.argtypes = [u8p, i64p, i64, i64, f32p]
+    lib.ee_gather_u8.argtypes = [u8p, i64p, i64, i64, u8p]
+    lib.ee_hflip.argtypes = [u8p, i64, i64, i64, i64, u8p]
+    lib.ee_pad_crop.argtypes = [u8p, u8p, i64, i64, i64, i64, i64, i32p, i32p]
+    lib.ee_rotate_bilinear.argtypes = [u8p, u8p, i64, i64, i64, i64, f32p]
+    lib.ee_resize_bilinear.argtypes = [u8p, u8p, i64, i64, i64, i64,
+                                       i32p, i32p, i32p, i32p, i64, i64]
+    lib.ee_num_threads.restype = ctypes.c_int
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def gather_to_float(images: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """images (N, ...) uint8, idx int64 -> float32 [0,1] batch."""
+    lib = _load()
+    sample_elems = int(np.prod(images.shape[1:]))
+    idx = np.ascontiguousarray(idx, np.int64)
+    if lib is None:
+        return images[idx].astype(np.float32) / 255.0
+    out = np.empty((len(idx),) + images.shape[1:], np.float32)
+    lib.ee_gather_to_float(images.reshape(len(images), -1), idx, len(idx),
+                           sample_elems, out.reshape(len(idx), -1))
+    return out
+
+
+def gather_u8(images: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    lib = _load()
+    idx = np.ascontiguousarray(idx, np.int64)
+    if lib is None:
+        return images[idx].copy()
+    out = np.empty((len(idx),) + images.shape[1:], np.uint8)
+    lib.ee_gather_u8(images.reshape(len(images), -1), idx, len(idx),
+                     int(np.prod(images.shape[1:])), out.reshape(len(idx), -1))
+    return out
+
+
+def hflip(imgs: np.ndarray, flags: np.ndarray) -> np.ndarray:
+    """In-place conditional hflip; returns imgs."""
+    lib = _load()
+    flags = np.ascontiguousarray(flags.astype(np.uint8))
+    if lib is None:
+        sel = flags.astype(bool)
+        imgs[sel] = imgs[sel, :, ::-1]
+        return imgs
+    n, h, w, c = imgs.shape
+    lib.ee_hflip(imgs, n, h, w, c, flags)
+    return imgs
+
+
+def pad_crop(imgs: np.ndarray, pad: int, oy: np.ndarray, ox: np.ndarray) -> np.ndarray:
+    lib = _load()
+    n, h, w, c = imgs.shape
+    oy = np.ascontiguousarray(oy, np.int32)
+    ox = np.ascontiguousarray(ox, np.int32)
+    if lib is None:
+        padded = np.pad(imgs, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        out = np.empty_like(imgs)
+        for i in range(n):
+            out[i] = padded[i, oy[i]:oy[i] + h, ox[i]:ox[i] + w]
+        return out
+    out = np.empty_like(imgs)
+    lib.ee_pad_crop(imgs, out, n, h, w, c, pad, oy, ox)
+    return out
+
+
+def rotate(imgs: np.ndarray, angles: np.ndarray) -> np.ndarray:
+    lib = _load()
+    n, h, w, c = imgs.shape
+    angles = np.ascontiguousarray(angles, np.float32)
+    if lib is None:
+        try:
+            import scipy.ndimage as ndi
+            out = np.empty_like(imgs)
+            for i in range(n):
+                out[i] = ndi.rotate(imgs[i], angles[i], reshape=False, order=1)
+            return out
+        except ImportError:
+            return imgs.copy()
+    out = np.empty_like(imgs)
+    lib.ee_rotate_bilinear(imgs, out, n, h, w, c, angles)
+    return out
+
+
+def resize_crops(imgs: np.ndarray, boxes: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """boxes (N, 4) int32 rows (by, bx, bh, bw) -> (N, oh, ow, C)."""
+    lib = _load()
+    n, sh, sw, c = imgs.shape
+    boxes = np.ascontiguousarray(boxes, np.int32)
+    by, bx, bh, bw = (np.ascontiguousarray(boxes[:, k]) for k in range(4))
+    out = np.empty((n, oh, ow, c), np.uint8)
+    if lib is None:
+        from PIL import Image
+        for i in range(n):
+            im = Image.fromarray(imgs[i].squeeze() if c == 1 else imgs[i])
+            box = (int(bx[i]), int(by[i]), int(bx[i] + bw[i]), int(by[i] + bh[i]))
+            r = np.asarray(im.crop(box).resize((ow, oh), Image.BILINEAR))
+            out[i] = r[..., None] if c == 1 else r
+        return out
+    lib.ee_resize_bilinear(imgs, out, n, sh, sw, c, by, bx, bh, bw, oh, ow)
+    return out

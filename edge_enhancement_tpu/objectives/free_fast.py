@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ..parallel import mesh as meshlib
 from ..train.modelops import ModelOps, cross_entropy, topk_accuracy
-from ..train.sgd import sgd_update
+from ..train.sgd import batchnorm_decay_mask, sgd_update
 from ..train.trainer import OptimConfig, TrainState
 
 
@@ -49,6 +49,9 @@ def build_free_train_step(ops: ModelOps, cfg: FreeFastConfig, opt: OptimConfig,
     """step(state, noise, x, y, key, lr) -> (state, noise, metrics)."""
 
     def step_fn(state: TrainState, noise, x, y, key, lr):
+        decay_mask = (batchnorm_decay_mask(state.params)
+                      if opt.bn_no_decay else None)
+
         def repeat_body(carry, k):
             params, buf, bs, nz = carry
 
@@ -63,7 +66,8 @@ def build_free_train_step(ops: ModelOps, cfg: FreeFastConfig, opt: OptimConfig,
                           -cfg.clip_eps, cfg.clip_eps)
             params, buf = sgd_update(params, gp, buf, lr=lr,
                                      momentum=opt.momentum,
-                                     weight_decay=opt.weight_decay)
+                                     weight_decay=opt.weight_decay,
+                                     decay_mask=decay_mask)
             return (params, buf, bs2, nz), (loss, logits)
 
         keys = jax.random.split(key, cfg.n_repeats)
@@ -90,6 +94,9 @@ def build_fast_train_step(ops: ModelOps, cfg: FreeFastConfig, opt: OptimConfig,
     LR is per-call (the cyclic schedule advances every repeat at the host)."""
 
     def step_fn(state: TrainState, noise, x, y, key, lr):
+        decay_mask = (batchnorm_decay_mask(state.params)
+                      if opt.bn_no_decay else None)
+
         def repeat_body(carry, k):
             params, buf, bs, nz = carry
             k_init, k_asc, k_desc = jax.random.split(k, 3)
@@ -118,7 +125,8 @@ def build_fast_train_step(ops: ModelOps, cfg: FreeFastConfig, opt: OptimConfig,
                 descend_loss, has_aux=True)(params)
             params, buf = sgd_update(params, gp, buf, lr=lr,
                                      momentum=opt.momentum,
-                                     weight_decay=opt.weight_decay)
+                                     weight_decay=opt.weight_decay,
+                                     decay_mask=decay_mask)
             return (params, buf, bs, nz), (loss, logits)
 
         keys = jax.random.split(key, cfg.n_repeats)

@@ -49,6 +49,7 @@ def create_train_state(ops: ModelOps, key: jax.Array, sample_x) -> TrainState:
 class OptimConfig:
     momentum: float = 0.9
     weight_decay: float = 0.0
+    bn_no_decay: bool = False   # fast-AT: exclude BatchNorm params from decay
 
 
 def build_train_step(ops: ModelOps, method: MethodConfig, opt: OptimConfig,

@@ -1,0 +1,211 @@
+"""Bit-level parity tests against the reference PyTorch implementation.
+
+These import the reference from /root/reference AT TEST TIME (read-only,
+behavioural comparison only) and check our ops/models produce the same
+forwards and STE gradients. Skipped wherever the reference tree or torch is
+unavailable.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+torch = pytest.importorskip("torch")
+
+if not os.path.isdir(REF):  # pragma: no cover
+    pytest.skip("reference tree not available", allow_module_level=True)
+
+# Shim the vendored torch._six import used by the reference's _jit_internal,
+# and neutralise hard-coded .cuda() calls so the reference runs on CPU.
+six = types.ModuleType("torch._six")
+import builtins as _b
+six.builtins = _b
+sys.modules.setdefault("torch._six", six)
+torch.Tensor.cuda = lambda self, *a, **k: self
+# Modern torch removed the old rfft/irfft API the reference calls
+# (utils/core.py:48-50); recreate the onesided=False semantics via torch.fft.
+if not hasattr(torch, "rfft") or not callable(getattr(torch, "rfft", None)):
+    def _old_rfft(x, ndim, onesided=True):
+        assert ndim == 2 and not onesided
+        return torch.view_as_real(torch.fft.fft2(x))
+
+    def _old_irfft(x, ndim, onesided=True):
+        assert ndim == 2 and not onesided
+        return torch.fft.ifft2(torch.view_as_complex(x.contiguous())).real
+
+    torch.rfft = _old_rfft
+    torch.irfft = _old_irfft
+
+# Importing the reference package leaves pool outputs with strides that make
+# the reference's `.view(-1, ...)` calls fail on modern torch; soften view to
+# reshape for this behavioural harness.
+_orig_view = torch.Tensor.view
+
+
+def _view_or_reshape(self, *shape):
+    try:
+        return _orig_view(self, *shape)
+    except RuntimeError:
+        return self.reshape(*shape)
+
+
+torch.Tensor.view = _view_or_reshape
+sys.path.insert(0, REF)
+
+import jax
+import jax.numpy as jnp
+
+from edge_enhancement_tpu.ops import (canny, canny_bpda, canny_step125,
+                                      high_freq_suppress)
+
+
+def nchw(x_nhwc):
+    return torch.from_numpy(
+        np.ascontiguousarray(np.asarray(x_nhwc).transpose(0, 3, 1, 2))).float()
+
+
+def to_nhwc(t):
+    return t.detach().numpy().transpose(0, 2, 3, 1)
+
+
+@pytest.fixture(scope="module")
+def imgs():
+    rng = np.random.default_rng(42)
+    return rng.random((2, 24, 24, 3)).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def mnist_imgs():
+    rng = np.random.default_rng(7)
+    x = rng.random((2, 28, 28, 1)).astype(np.float32)
+    x[:, 4:10, 4:10] = 0.9  # structure
+    return x
+
+
+class TestHFSParity:
+    @pytest.mark.parametrize("size,r", [(28, 4), (24, 8)])
+    def test_forward(self, size, r):
+        from utils.core import HighFreqSuppress
+        rng = np.random.default_rng(0)
+        x = rng.random((2, size, size, 3)).astype(np.float32)
+        ref = HighFreqSuppress(size, size, r)
+        want = to_nhwc(ref(nchw(x)))
+        got = np.asarray(high_freq_suppress(jnp.asarray(x), r))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+class TestCannyParity:
+    def test_step125_forward(self, imgs):
+        from utils.core import CannyFilter_step125_1
+        ref = CannyFilter_step125_1(sigma=1.0, alpha=0.3)
+        want = to_nhwc(ref(nchw(imgs), low_threshold=38 / 255,
+                           high_threshold=76 / 255))
+        got = np.asarray(canny_step125(jnp.asarray(imgs), 38 / 255, 76 / 255,
+                                       alpha=0.3))
+        assert (np.abs(got - want) > 1e-4).mean() < 0.002  # threshold-edge f32 flips
+
+    def test_full_canny_forward(self, imgs):
+        from utils.core import CannyFilter
+        ref = CannyFilter(sigma=1.0, alpha=0.0)
+        want = to_nhwc(ref(nchw(imgs), low_threshold=38 / 255,
+                           high_threshold=76 / 255, hysteresis=True))
+        got = np.asarray(canny(jnp.asarray(imgs), 38 / 255, 76 / 255,
+                               hysteresis=True))
+        assert (np.abs(got - want) > 1e-4).mean() < 0.005
+
+    def test_bpda_forward(self, imgs):
+        from utils.core import CannyFilter_BPDA
+        ref = CannyFilter_BPDA(sigma=1.0, alpha=0.0)
+        want = to_nhwc(ref(nchw(imgs), low_threshold=38 / 255,
+                           high_threshold=76 / 255, hysteresis=True))
+        got = np.asarray(canny_bpda(jnp.asarray(imgs), 38 / 255, 76 / 255,
+                                    hysteresis=True))
+        assert (np.abs(got - want) > 1e-4).mean() < 0.005
+
+    def test_step125_input_gradient(self, imgs):
+        """The STE gradient mask must match where torch's grad is finite
+        (torch NaNs at exactly-zero sobel magnitude; random imgs avoid it)."""
+        from utils.core import CannyFilter_step125_1
+        ref = CannyFilter_step125_1(sigma=1.0, alpha=0.0)
+        xt = nchw(imgs).requires_grad_()
+        out = ref(xt, low_threshold=38 / 255, high_threshold=76 / 255)
+        want = xt.grad = None
+        g_ref = torch.autograd.grad(out.sum(), [xt])[0]
+        want = to_nhwc(g_ref)
+
+        g_got = np.asarray(jax.grad(
+            lambda v: canny_step125(v, 38 / 255, 76 / 255, alpha=0.0).sum()
+        )(jnp.asarray(imgs)))
+        finite = np.isfinite(want)
+        assert finite.all(), "torch grad NaN'd on random images (unexpected)"
+        np.testing.assert_allclose(g_got, want, atol=5e-4)
+
+    def test_bpda_input_gradient(self, imgs):
+        from utils.core import CannyFilter_BPDA
+        ref = CannyFilter_BPDA(sigma=1.0, alpha=0.0)
+        xt = nchw(imgs).requires_grad_()
+        out = ref(xt, low_threshold=38 / 255, high_threshold=76 / 255,
+                  hysteresis=True)
+        g_ref = to_nhwc(torch.autograd.grad(out.sum(), [xt])[0])
+        g_got = np.asarray(jax.grad(
+            lambda v: canny_bpda(v, 38 / 255, 76 / 255, hysteresis=True).sum()
+        )(jnp.asarray(imgs)))
+        if np.isfinite(g_ref).all():
+            mismatch = np.abs(g_got - g_ref) > 5e-4
+            assert mismatch.mean() < 0.01
+        else:
+            # our safe-sqrt zeroes grads exactly where torch NaNs
+            assert np.isfinite(g_got).all()
+
+
+class TestMnistModelParity:
+    def test_net2_forward_with_copied_weights(self, mnist_imgs):
+        """Build the reference Net_2, copy its weights into our flax MnistCNN,
+        compare logits (eval mode)."""
+        from MNIST.models_mnist.Net2 import Net_2
+        from edge_enhancement_tpu.models.cnn_mnist import net2
+        from edge_enhancement_tpu.train.modelops import ModelOps
+
+        tm = Net_2().eval()
+        ops = ModelOps(net2())
+        params, bs = ops.init(jax.random.PRNGKey(0), jnp.asarray(mnist_imgs[:1]))
+
+        def conv_w(t):  # torch OIHW -> flax HWIO
+            return jnp.asarray(t.detach().numpy().transpose(2, 3, 1, 0))
+
+        p = jax.tree.map(lambda v: v, params)  # copy structure
+        p = dict(flax_unfreeze(p))
+        p["Conv_0"]["kernel"] = conv_w(tm.conv1.weight)
+        p["Conv_0"]["bias"] = jnp.asarray(tm.conv1.bias.detach().numpy())
+        p["Conv_1"]["kernel"] = conv_w(tm.conv2.weight)
+        p["Conv_1"]["bias"] = jnp.asarray(tm.conv2.bias.detach().numpy())
+        # torch flattens NCHW (C,H,W) order; our NHWC flatten differs — remap
+        # fc1 input weights accordingly: torch index c*16+h*4+w maps to our
+        # h*4*64 + w*64 + c.
+        w1 = tm.fc1.weight.detach().numpy()  # (1024, 1024) in (out, in)
+        idx = np.arange(4 * 4 * 64)
+        c, h, w = idx // 16, (idx % 16) // 4, idx % 4
+        nhwc_pos = h * (4 * 64) + w * 64 + c
+        w1_remap = np.zeros_like(w1)
+        w1_remap[:, nhwc_pos] = w1[:, idx]
+        p["Dense_0"]["kernel"] = jnp.asarray(w1_remap.T)
+        p["Dense_0"]["bias"] = jnp.asarray(tm.fc1.bias.detach().numpy())
+        p["Dense_1"]["kernel"] = jnp.asarray(tm.fc2.weight.detach().numpy().T)
+        p["Dense_1"]["bias"] = jnp.asarray(tm.fc2.bias.detach().numpy())
+
+        got = np.asarray(ops.logits_eval(p, bs, jnp.asarray(mnist_imgs),
+                                         jax.random.PRNGKey(1)))
+        want = tm(nchw(mnist_imgs)).detach().numpy()
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def flax_unfreeze(p):
+    """params may be a FrozenDict or plain dict depending on flax version."""
+    try:
+        return p.unfreeze()
+    except AttributeError:
+        return p

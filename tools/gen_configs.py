@@ -149,6 +149,49 @@ CONFIGS = {
     }),
 }
 
+# ---- free-AT (free_imagenet drivers: argparse defaults) ------------------
+FREE_BASE = dict(dataset="imagenet", lr_schedule="step30_free", start_epoch=0,
+                 epochs=90, batch_size=256, lr=0.1, momentum=0.9,
+                 weight_decay=0.0001, print_freq=100, seed=1, cize=224,
+                 n_repeats=4, fgsm_step=4.0, clip_eps=4.0,
+                 epsilon=0.0157, num_steps_1=10, step_size_1=0.003921568627451,
+                 random=True)
+
+CONFIGS["free_imagenet"] = (FREE_BASE, {
+    "free_at": dict(method_name="free_AT", arch="resnet50"),
+    "free_at_ee": dict(method_name="free_AT", arch="resnet50_EE",
+                       alpha=0, sigma=1.0, w=1.0, r=16, gf=False,
+                       low=38.0, high=76.0,
+                       type_canny="CannyFilter_step125_1"),
+})
+
+# ---- fast-AT (fgsm_imagenet 3-phase progressive resize) ------------------
+def _fast_phase(eps_px, phase, ee):
+    crop = {1: 128, 2: 224, 3: 288}[phase]
+    r = {1: 12, 2: 16, 3: 18}[phase]
+    c = dict(dataset="imagenet", lr_schedule="cyclic", method_name="fast_AT",
+             arch="resnet50_EE" if ee else "resnet50",
+             start_epoch=0, epochs={1: 6, 2: 6, 3: 3}[phase],
+             batch_size={1: 256, 2: 128, 3: 96}[phase],
+             lr=0.1, lr_min=0.0, lr_max={1: 0.4, 2: 0.04, 3: 0.004}[phase],
+             momentum=0.9, weight_decay=0.0001, print_freq=10, seed=1,
+             cize=crop, n_repeats=1, fgsm_step=eps_px * 1.25,
+             clip_eps=float(eps_px), random_init=True,
+             epsilon=eps_px / 255.0, num_steps_1=10,
+             step_size_1=0.00392156862, num_steps_2=50,
+             step_size_2=0.00392156862, random=True)
+    if ee:
+        c.update(alpha=0, sigma=1.0, w=1.0, r=r, gf=False, low=38.0,
+                 high=76.0, type_canny="CannyFilter_step125_1")
+    return c
+
+fast_entries = {}
+for eps_px in (2, 4):
+    for phase in (1, 2, 3):
+        fast_entries[f"fast_{eps_px}px_phase{phase}"] = _fast_phase(eps_px, phase, False)
+        fast_entries[f"fast_{eps_px}px_phase{phase}_ee"] = _fast_phase(eps_px, phase, True)
+CONFIGS["fast_imagenet"] = (dict(), fast_entries)
+
 
 def main():
     for group, (base, entries) in CONFIGS.items():

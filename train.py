@@ -27,6 +27,10 @@ from edge_enhancement_tpu.data.datasets import get_dataset
 from edge_enhancement_tpu.models.registry import build_model
 from edge_enhancement_tpu.objectives.methods import MethodConfig
 from edge_enhancement_tpu.objectives.awp import AWPConfig, build_awp_train_step
+from edge_enhancement_tpu.objectives.free_fast import (FreeFastConfig,
+                                                       build_fast_train_step,
+                                                       build_free_train_step,
+                                                       init_noise)
 from edge_enhancement_tpu.parallel import mesh as meshlib
 from edge_enhancement_tpu.train import checkpoint as ckpt
 from edge_enhancement_tpu.train.modelops import ModelOps
@@ -90,6 +94,84 @@ def run_validation(log, eval_step, mesh, state, ds, cfg, *, num_steps, step_size
     return clean1.avg, adv1.avg
 
 
+def run_free_fast(cfg, ops, mesh, state, train_ds, val_ds, log, out_dir,
+                  num_classes):
+    """Free/fast-AT epoch loop (reference AT_*_free_imagenet_ddp.py:284-337,
+    main_fast.py:200-288). Free: persistent noise, epochs/n_repeats, scaled
+    step-30 LR. Fast: per-batch noise re-init, cyclic LR per minibatch."""
+    import math
+    fast = cfg["method_name"] == "fast_AT"
+    n_repeats = int(cfg.get("n_repeats", 1 if fast else 4))
+    ffcfg = FreeFastConfig(
+        n_repeats=n_repeats,
+        fgsm_step=float(cfg.get("fgsm_step", 4.0)) / 255.0,
+        clip_eps=float(cfg.get("clip_eps", 4.0)) / 255.0,
+        random_init=bool(cfg.get("random_init", True)))
+    opt = OptimConfig(momentum=float(cfg.get("momentum", 0.9)),
+                      weight_decay=float(cfg.get("weight_decay", 1e-4)),
+                      bn_no_decay=fast)
+    builder = build_fast_train_step if fast else build_free_train_step
+    step = builder(ops, ffcfg, opt, mesh=mesh)
+
+    batch_size = int(cfg["batch_size"])
+    cize = int(cfg.get("cize", cfg.get("crop_size", 224)))
+    channels = 1 if cfg["dataset"] == "mnist" else 3
+    noise = meshlib.shard_batch(mesh, init_noise(batch_size, cize, channels))
+    epochs = int(math.ceil(int(cfg["epochs"]) / n_repeats)) if not fast \
+        else int(cfg["epochs"])
+    limit = cfg.get("limit_batches")
+    n_batches = max(len(train_ds) // batch_size, 1)
+    key = jax.random.PRNGKey(int(cfg.get("seed", 1)))
+    best_prec1 = 0.0
+
+    eval_step = build_eval_step(ops, EvalAttackConfig(
+        "PGD", float(cfg.get("epsilon", ffcfg.clip_eps)),
+        int(cfg.get("num_steps_1", 10)),
+        float(cfg.get("step_size_1", 1 / 255)),
+        True, num_classes), mesh=mesh)
+
+    for epoch in range(epochs):
+        bt, dt, losses, top1, top5 = (AverageMeter() for _ in range(5))
+        end = time.time()
+        for i, (x, y) in enumerate(train_ds.batches(batch_size, shuffle=True,
+                                                    seed=int(cfg.get("seed", 1)),
+                                                    epoch=epoch)):
+            if limit is not None and i >= limit:
+                break
+            dt.update(time.time() - end)
+            if fast:
+                total = epochs * n_batches * n_repeats
+                cur = (epoch * n_batches + i) * n_repeats
+                lr = schedules.cyclic_interp(
+                    float(cfg.get("lr_min", 0.0)),
+                    float(cfg.get("lr_max", cfg.get("lr", 0.4))), cur, total)
+            else:
+                lr = schedules.step30_free(float(cfg["lr"]), epoch, n_repeats)
+            key, k = jax.random.split(key)
+            xb, yb = meshlib.shard_batch(mesh, (x, y))
+            state, noise, metrics = step(state, noise, xb, yb, k,
+                                         jnp.float32(lr))
+            if i % int(cfg.get("print_freq", 50)) == 0:
+                m = jax.device_get(metrics)
+                losses.update(m["loss"], len(y))
+                top1.update(m["top1"], len(y)); top5.update(m["top5"], len(y))
+                bt.update(time.time() - end)
+                log(train_line(epoch, i, n_batches, bt, dt, losses, top1, top5))
+            else:
+                bt.update(time.time() - end)
+            end = time.time()
+        prec1, _ = run_validation(log, eval_step, mesh, state, val_ds, cfg,
+                                  num_steps=int(cfg.get("num_steps_1", 10)),
+                                  step_size=float(cfg.get("step_size_1", 1 / 255)),
+                                  limit=limit)
+        is_best = prec1 > best_prec1
+        best_prec1 = max(prec1, best_prec1)
+        ckpt.save_checkpoint(os.path.join(out_dir, "ckpt"),
+                             jax.device_get(state), epoch + 1, cfg["arch"],
+                             best_prec1, is_best)
+    log(f"=> done. best robust-eval Prec@1 {best_prec1:.3f}")
+
+
 def main():
     args = base_parser().parse_args()
     cfg = load_config(args.config, vars(args))
@@ -127,6 +209,12 @@ def main():
     opt = OptimConfig(momentum=float(cfg.get("momentum", 0.9)),
                       weight_decay=float(cfg.get("weight_decay", 0.0))
                       if mcfg.method_name != "TRADES" else 0.0)
+
+    # free/fast AT have their own replay loop (reference free_imagenet /
+    # fgsm_imagenet drivers); dispatch before the generic objective path.
+    if cfg["method_name"] in ("free_AT", "fast_AT"):
+        return run_free_fast(cfg, ops, mesh, state, train_ds, val_ds, log,
+                             out_dir, num_classes)
 
     awp_warmup = None
     if cfg.get("awp_gamma") is not None:
