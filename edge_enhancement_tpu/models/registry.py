@@ -11,6 +11,8 @@ from __future__ import annotations
 import re
 from typing import Any, Mapping
 
+import jax.numpy as jnp
+
 from .cnn_mnist import MnistCNN, net2, net2_ee, net2_ee_square
 from .ee_frontend import EEConfig
 from .resnet import preact_resnet, resnet
@@ -30,9 +32,18 @@ def _ee_from_args(a: Mapping[str, Any], square: bool,
         n_queries=int(a.get("n_queries", 1)))
 
 
+def _dtype_from_args(a: Mapping[str, Any]):
+    """Mixed-precision policy: `dtype: bfloat16` or the reference fast-AT
+    key `half: true` select bf16 compute (params stay f32)."""
+    if a.get("half") or str(a.get("dtype", "")).lower() in ("bf16", "bfloat16"):
+        return jnp.bfloat16
+    return None
+
+
 def build_model(arch: str, args: Mapping[str, Any], num_classes: int):
     """Construct the model for a reference arch string."""
     a = dict(args)
+    dtype = _dtype_from_args(a)
 
     # ---- MNIST family ----------------------------------------------------
     if arch == "Net2":
@@ -49,12 +60,13 @@ def build_model(arch: str, args: Mapping[str, Any], num_classes: int):
         depth = int(m.group(1))
         suffix = m.group(2) or ""
         if suffix == "":
-            return resnet(depth, num_classes=num_classes)
+            return resnet(depth, num_classes=num_classes, dtype=dtype)
         if suffix == "_fd":
-            return resnet(depth, num_classes=num_classes, denoise=True)
+            return resnet(depth, num_classes=num_classes, denoise=True,
+                          dtype=dtype)
         square = suffix == "_EE_square"
         return resnet(depth, num_classes=num_classes,
-                      ee=_ee_from_args(a, square=square))
+                      ee=_ee_from_args(a, square=square), dtype=dtype)
 
     # ---- AWP PreActResNets ----------------------------------------------
     m = re.fullmatch(r"PreActResNet(\d+)(_EE(?:_BPDA(?:_3)?)?)?", arch)
@@ -67,12 +79,12 @@ def build_model(arch: str, args: Mapping[str, Any], num_classes: int):
         raw = str(a.get("dataset_variant") or a.get("dataset", "Tiny-ImageNet"))
         dataset = name_map.get(raw, raw)
         if suffix == "":
-            return preact_resnet(depth, dataset=dataset)
+            return preact_resnet(depth, dataset=dataset, dtype=dtype)
         canny_type = {"_EE": "CannyFilter", "_EE_BPDA": "CannyFilter_BPDA",
                       "_EE_BPDA_3": "CannyFilter_step125_1"}[suffix]
         ee = _ee_from_args(a, square=False)
         ee = EEConfig(**{**ee.__dict__, "type_canny": canny_type})
-        return preact_resnet(depth, dataset=dataset, ee=ee)
+        return preact_resnet(depth, dataset=dataset, ee=ee, dtype=dtype)
 
     # ---- U2-Net edge extractors (utils/u2net.py) -------------------------
     if arch == "u2net":

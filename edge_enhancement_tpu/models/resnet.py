@@ -36,9 +36,11 @@ conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 Conv = partial(nn.Conv, use_bias=False, kernel_init=conv_init)
 
 
-def batch_norm(train: bool, name=None):
+def batch_norm(train: bool, dtype=None, name=None):
+    """BN with f32 parameters/stats; `dtype` sets the computation dtype
+    (bf16 under the mixed-precision policy, the reference's apex-AMP role)."""
     return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                        epsilon=1e-5, name=name)
+                        epsilon=1e-5, dtype=dtype, name=name)
 
 
 def max_pool_3x3_s2(x):
@@ -48,39 +50,45 @@ def max_pool_3x3_s2(x):
 class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
+    dtype: Any = None
     expansion = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
-        out = Conv(self.planes, (3, 3), strides=(self.stride,) * 2, padding=1)(x)
-        out = batch_norm(train)(out)
+        out = Conv(self.planes, (3, 3), strides=(self.stride,) * 2, padding=1,
+                   dtype=self.dtype)(x)
+        out = batch_norm(train, self.dtype)(out)
         out = nn.relu(out)
-        out = Conv(self.planes, (3, 3), padding=1)(out)
-        out = batch_norm(train)(out)
+        out = Conv(self.planes, (3, 3), padding=1, dtype=self.dtype)(out)
+        out = batch_norm(train, self.dtype)(out)
         if self.stride != 1 or x.shape[-1] != self.planes:
-            residual = Conv(self.planes, (1, 1), strides=(self.stride,) * 2)(x)
-            residual = batch_norm(train)(residual)
+            residual = Conv(self.planes, (1, 1), strides=(self.stride,) * 2,
+                            dtype=self.dtype)(x)
+            residual = batch_norm(train, self.dtype)(residual)
         return nn.relu(out + residual)
 
 
 class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
+    dtype: Any = None
     expansion = 4
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
-        out = Conv(self.planes, (1, 1))(x)
-        out = nn.relu(batch_norm(train)(out))
-        out = Conv(self.planes, (3, 3), strides=(self.stride,) * 2, padding=1)(out)
-        out = nn.relu(batch_norm(train)(out))
-        out = Conv(self.planes * 4, (1, 1))(out)
-        out = batch_norm(train)(out)
+        out = Conv(self.planes, (1, 1), dtype=self.dtype)(x)
+        out = nn.relu(batch_norm(train, self.dtype)(out))
+        out = Conv(self.planes, (3, 3), strides=(self.stride,) * 2, padding=1,
+                   dtype=self.dtype)(out)
+        out = nn.relu(batch_norm(train, self.dtype)(out))
+        out = Conv(self.planes * 4, (1, 1), dtype=self.dtype)(out)
+        out = batch_norm(train, self.dtype)(out)
         if self.stride != 1 or x.shape[-1] != self.planes * 4:
-            residual = Conv(self.planes * 4, (1, 1), strides=(self.stride,) * 2)(x)
-            residual = batch_norm(train)(residual)
+            residual = Conv(self.planes * 4, (1, 1), strides=(self.stride,) * 2,
+                            dtype=self.dtype)(x)
+            residual = batch_norm(train, self.dtype)(residual)
         return nn.relu(out + residual)
 
 
@@ -102,32 +110,37 @@ class DenoisingBlock(nn.Module):
 
 
 class ResNet(nn.Module):
-    """Plain / EE / EE_square / FD ResNet, selected by flags."""
+    """Plain / EE / EE_square / FD ResNet, selected by flags. `dtype`
+    selects the computation precision (bf16 = the reference's apex-AMP
+    mixed precision); params, EE front-end, and the loss stay f32."""
     block: Any                       # BasicBlock | Bottleneck
     layers: Sequence[int]
     num_classes: int = 200
     ee: Optional[EEConfig] = None
     denoise: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.ee is not None:
             square_key = self.make_rng("square") if self.ee.square else None
             x = ee_frontend(x, self.ee, square_key)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
 
-        x = Conv(64, (7, 7), strides=(2, 2), padding=3)(x)
-        x = nn.relu(batch_norm(train)(x))
+        x = Conv(64, (7, 7), strides=(2, 2), padding=3, dtype=self.dtype)(x)
+        x = nn.relu(batch_norm(train, self.dtype)(x))
         x = max_pool_3x3_s2(x)
 
         for group, (planes, blocks) in enumerate(zip((64, 128, 256, 512), self.layers)):
             for i in range(blocks):
                 stride = 2 if (group > 0 and i == 0) else 1
-                x = self.block(planes, stride)(x, train)
+                x = self.block(planes, stride, dtype=self.dtype)(x, train)
             if self.denoise:
                 x = DenoisingBlock()(x, train)
 
         x = jnp.mean(x, axis=(1, 2))
-        return nn.Dense(self.num_classes)(x)
+        return nn.Dense(self.num_classes, dtype=self.dtype)(x).astype(jnp.float32)
 
 
 _LAYOUTS = {18: (BasicBlock, (2, 2, 2, 2)), 34: (BasicBlock, (3, 4, 6, 3)),
@@ -136,47 +149,54 @@ _LAYOUTS = {18: (BasicBlock, (2, 2, 2, 2)), 34: (BasicBlock, (3, 4, 6, 3)),
 
 
 def resnet(depth: int, num_classes: int = 200, ee: Optional[EEConfig] = None,
-           denoise: bool = False) -> ResNet:
+           denoise: bool = False, dtype: Any = None) -> ResNet:
     if depth not in _LAYOUTS:
         raise NotImplementedError(
             f"resnet depth {depth}; supported: {sorted(_LAYOUTS)}")
     block, layers = _LAYOUTS[depth]
     return ResNet(block=block, layers=layers, num_classes=num_classes,
-                  ee=ee, denoise=denoise)
+                  ee=ee, denoise=denoise, dtype=dtype)
 
 
 class PreActBlock(nn.Module):
     planes: int
     stride: int = 1
+    dtype: Any = None
     expansion = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        out = nn.relu(batch_norm(train)(x))
+        out = nn.relu(batch_norm(train, self.dtype)(x))
         needs_proj = self.stride != 1 or x.shape[-1] != self.planes
         # pre-act shortcut projects the POST-activation tensor (preactresnet.py:31-33)
-        shortcut = (Conv(self.planes, (1, 1), strides=(self.stride,) * 2)(out)
+        shortcut = (Conv(self.planes, (1, 1), strides=(self.stride,) * 2,
+                         dtype=self.dtype)(out)
                     if needs_proj else x)
-        out = Conv(self.planes, (3, 3), strides=(self.stride,) * 2, padding=1)(out)
-        out = Conv(self.planes, (3, 3), padding=1)(nn.relu(batch_norm(train)(out)))
+        out = Conv(self.planes, (3, 3), strides=(self.stride,) * 2, padding=1,
+                   dtype=self.dtype)(out)
+        out = Conv(self.planes, (3, 3), padding=1, dtype=self.dtype)(
+            nn.relu(batch_norm(train, self.dtype)(out)))
         return out + shortcut
 
 
 class PreActBottleneck(nn.Module):
     planes: int
     stride: int = 1
+    dtype: Any = None
     expansion = 4
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        out = nn.relu(batch_norm(train)(x))
+        out = nn.relu(batch_norm(train, self.dtype)(x))
         needs_proj = self.stride != 1 or x.shape[-1] != self.planes * 4
-        shortcut = (Conv(self.planes * 4, (1, 1), strides=(self.stride,) * 2)(out)
+        shortcut = (Conv(self.planes * 4, (1, 1), strides=(self.stride,) * 2,
+                         dtype=self.dtype)(out)
                     if needs_proj else x)
-        out = Conv(self.planes, (1, 1))(out)
-        out = Conv(self.planes, (3, 3), strides=(self.stride,) * 2, padding=1)(
-            nn.relu(batch_norm(train)(out)))
-        out = Conv(self.planes * 4, (1, 1))(nn.relu(batch_norm(train)(out)))
+        out = Conv(self.planes, (1, 1), dtype=self.dtype)(out)
+        out = Conv(self.planes, (3, 3), strides=(self.stride,) * 2, padding=1,
+                   dtype=self.dtype)(nn.relu(batch_norm(train, self.dtype)(out)))
+        out = Conv(self.planes * 4, (1, 1), dtype=self.dtype)(
+            nn.relu(batch_norm(train, self.dtype)(out)))
         return out + shortcut
 
 
@@ -190,32 +210,35 @@ class PreActResNet(nn.Module):
     num_classes: int = 200
     dataset: str = "Tiny-ImageNet"   # CIFAR10 | CIFAR100 | ImageNet | Tiny-ImageNet
     ee: Optional[EEConfig] = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.ee is not None:
             square_key = self.make_rng("square") if self.ee.square else None
             x = ee_frontend(x, self.ee, square_key)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
 
         if self.dataset.startswith("CIFAR"):
-            x = Conv(64, (3, 3), padding=1)(x)
+            x = Conv(64, (3, 3), padding=1, dtype=self.dtype)(x)
         else:
-            x = Conv(64, (7, 7), strides=(2, 2), padding=3)(x)
-            x = nn.relu(batch_norm(train)(x))
+            x = Conv(64, (7, 7), strides=(2, 2), padding=3, dtype=self.dtype)(x)
+            x = nn.relu(batch_norm(train, self.dtype)(x))
             x = max_pool_3x3_s2(x)
 
         for group, (planes, blocks) in enumerate(zip((64, 128, 256, 512), self.layers)):
             for i in range(blocks):
                 stride = 2 if (group > 0 and i == 0) else 1
-                x = self.block(planes, stride)(x, train)
+                x = self.block(planes, stride, dtype=self.dtype)(x, train)
 
-        x = nn.relu(batch_norm(train)(x))
+        x = nn.relu(batch_norm(train, self.dtype)(x))
         x = jnp.mean(x, axis=(1, 2))
-        return nn.Dense(self.num_classes)(x)
+        return nn.Dense(self.num_classes, dtype=self.dtype)(x).astype(jnp.float32)
 
 
 def preact_resnet(depth: int, dataset: str = "Tiny-ImageNet",
-                  ee: Optional[EEConfig] = None) -> PreActResNet:
+                  ee: Optional[EEConfig] = None, dtype: Any = None) -> PreActResNet:
     block_map = {18: (PreActBlock, (2, 2, 2, 2)), 34: (PreActBlock, (3, 4, 6, 3)),
                  50: (PreActBottleneck, (3, 4, 6, 3)),
                  101: (PreActBottleneck, (3, 4, 23, 3)),
@@ -224,4 +247,4 @@ def preact_resnet(depth: int, dataset: str = "Tiny-ImageNet",
     nclass = {"CIFAR10": 10, "CIFAR100": 100, "ImageNet": 1000,
               "Tiny-ImageNet": 200}[dataset]
     return PreActResNet(block=block, layers=layers, num_classes=nclass,
-                        dataset=dataset, ee=ee)
+                        dataset=dataset, ee=ee, dtype=dtype)

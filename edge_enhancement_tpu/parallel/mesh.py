@@ -40,9 +40,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Device-put a host batch with the leading axis sharded over 'data'."""
+    """Device-put a host batch with the leading axis sharded over 'data'.
+
+    Multi-host: each process passes its LOCAL portion of the global batch
+    (the input pipeline shards by process index) and the pieces are assembled
+    into one global array — the DistributedSampler + DDP wiring of the
+    reference collapses into this call.
+    """
     sh = batch_sharding(mesh)
-    return jax.tree.map(lambda a: jax.device_put(a, sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda a: jax.device_put(a, sh), batch)
+    return jax.tree.map(
+        lambda a: jax.make_array_from_process_local_data(sh, a), batch)
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:

@@ -88,6 +88,8 @@ class EvalAttackConfig:
     random: bool = True
     num_classes: int = 10
     cw_iters: int = 20
+    restarts: int = 1              # multi-restart PGD (fast-AT validate_pgd,
+                                   # fgsm_imagenet/lib/validation.py:31-57)
 
 
 def build_eval_step(ops: ModelOps, atk: EvalAttackConfig, mesh=None) -> Callable:
@@ -110,8 +112,19 @@ def build_eval_step(ops: ModelOps, atk: EvalAttackConfig, mesh=None) -> Callable
         if atk.attack_method == "PGD":
             pcfg = PGDConfig(atk.epsilon, atk.num_steps, atk.step_size,
                              random_init=("uniform" if atk.random else "none"))
-            x_adv, _ = pgd_linf(eval_loss(state.params, state.batch_stats, y),
-                                x, key_atk, pcfg)
+            loss_fn = eval_loss(state.params, state.batch_stats, y)
+            x_adv, _ = pgd_linf(loss_fn, x, key_atk, pcfg)
+            # extra restarts: keep the first run's output, then swap in any
+            # restart that flips a still-correct prediction (validation.py:50-57)
+            for _ in range(atk.restarts - 1):
+                key_atk, k_r, k_p = jax.random.split(key_atk, 3)
+                cand, _ = pgd_linf(loss_fn, x, k_r, pcfg)
+                pred = jnp.argmax(ops.logits_eval(state.params,
+                                                  state.batch_stats, cand, k_p),
+                                  axis=-1)
+                broke = (pred != y)
+                sel = broke[(slice(None),) + (None,) * (x.ndim - 1)]
+                x_adv = jnp.where(sel, cand, x_adv)
         elif atk.attack_method == "FGSM":
             x_adv, _ = fgsm(eval_loss(state.params, state.batch_stats, y),
                             x, key_atk, step_size=atk.step_size)

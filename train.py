@@ -175,6 +175,13 @@ def run_free_fast(cfg, ops, mesh, state, train_ds, val_ds, log, out_dir,
 def main():
     args = base_parser().parse_args()
     cfg = load_config(args.config, vars(args))
+
+    # Multi-host: one line replaces the reference's torch.distributed.launch +
+    # NCCL process groups (experiments_imagenet.py:56). Each host then runs
+    # the same mesh-sharded program; input batches are host-sharded via
+    # ArrayDataset.batches(process_index/process_count).
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or cfg.get("multihost"):
+        jax.distributed.initialize()
     dataset_name = cfg["dataset"]
     seed = int(cfg.get("seed", 1))
 
@@ -250,16 +257,20 @@ def main():
                            limit=cfg.get("limit_batches"))
         return
 
-    batch_size = int(cfg["batch_size"])
+    # the config batch size is GLOBAL (reference DDP divides by nGPU,
+    # experiments_imagenet.py:154-161); each host loads its share.
+    batch_size = int(cfg["batch_size"]) // jax.process_count()
     limit = cfg.get("limit_batches")
     key = jax.random.PRNGKey(seed)
     for epoch in range(start_epoch, int(cfg["epochs"])):
         lr = epoch_lr(cfg, epoch)
         bt, dt, losses, top1, top5 = (AverageMeter() for _ in range(5))
-        n_batches = len(train_ds) // batch_size
+        n_batches = len(train_ds) // (batch_size * jax.process_count())
         end = time.time()
-        for i, (x, y) in enumerate(train_ds.batches(batch_size, shuffle=True,
-                                                    seed=seed, epoch=epoch)):
+        for i, (x, y) in enumerate(train_ds.batches(
+                batch_size, shuffle=True, seed=seed, epoch=epoch,
+                process_index=jax.process_index(),
+                process_count=jax.process_count())):
             if limit is not None and i >= limit:
                 break
             dt.update(time.time() - end)
