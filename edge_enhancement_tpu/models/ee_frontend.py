@@ -44,6 +44,8 @@ class EEConfig:
     square: bool = False
     epsilon: float = 0.05
     n_queries: int = 5000
+    # use the fused Pallas kernel for the BPDA-3 variant (TPU hot path)
+    fused: bool = False
 
     @property
     def low_scaled(self) -> float:
@@ -69,8 +71,12 @@ def ee_frontend(x: jnp.ndarray, cfg: EEConfig,
     x_hfs = high_freq_suppress(x_in, cfg.r)
     # Canny always sees the clean input, even in the _square variants
     # (Net2_EE_square.py:49-55, resnet_EE_square forward).
-    x_canny = canny_fn(x, cfg.low_scaled, cfg.high_scaled, hysteresis=True,
-                       sigma=cfg.sigma, alpha=cfg.alpha)
+    if cfg.fused and cfg.type_canny == "CannyFilter_step125_1":
+        from ..ops.pallas.canny_fused import canny_step125_fused
+        x_canny = canny_step125_fused(x, cfg.high_scaled, cfg.sigma, cfg.alpha)
+    else:
+        x_canny = canny_fn(x, cfg.low_scaled, cfg.high_scaled, hysteresis=True,
+                           sigma=cfg.sigma, alpha=cfg.alpha)
     if cfg.with_gf:
         x_canny = stencil2d(x_canny, gaussian_kernel(3, 0.0, 1.0), pad_mode="zero")
     out = x_hfs + cfg.w * x_canny

@@ -29,7 +29,8 @@ def _ee_from_args(a: Mapping[str, Any], square: bool,
         type_canny=str(a.get("type_canny", default_type)),
         square=square,
         epsilon=float(a.get("epsilon", 0.05)),
-        n_queries=int(a.get("n_queries", 1)))
+        n_queries=int(a.get("n_queries", 1)),
+        fused=bool(a.get("fused_canny", False)))
 
 
 def _dtype_from_args(a: Mapping[str, Any]):
