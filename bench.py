@@ -26,11 +26,19 @@ REFERENCE_IMG_PER_SEC = 130.0  # BASELINE.md: ~0.73-0.80 s/iter @ bs100
 
 
 def main():
-    batch_size = 100
+    import os
+    batch_size = int(os.environ.get("EE_BENCH_BATCH", 100))
     spec = SPECS["tiny_imagenet"]
     args = dict(r=8, w=1.0, gf=False, low=38.0, high=76.0, alpha=0.0,
                 sigma=1.0, type_canny="CannyFilter_step125_1",
                 epsilon=0.062745098039216, n_queries=1, cize=64)
+    # optional fast modes (headline stays the f32 parity workload):
+    #   EE_BENCH_DTYPE=bfloat16  -> mixed precision (~+20%)
+    #   EE_BENCH_FUSED=1         -> pallas fused canny front-end
+    if os.environ.get("EE_BENCH_DTYPE"):
+        args["dtype"] = os.environ["EE_BENCH_DTYPE"]
+    if os.environ.get("EE_BENCH_FUSED"):
+        args["fused_canny"] = True
     model = build_model("resnet18_EE_square", args, spec.num_classes)
     ops = ModelOps(model)
     mesh = meshlib.make_mesh()

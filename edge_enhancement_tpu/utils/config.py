@@ -70,4 +70,7 @@ def base_parser(description: str = "edge_enhancement_tpu trainer") -> argparse.A
                    help="cap batches per epoch (smoke testing)")
     p.add_argument("--output", default="output", help="checkpoint/log root")
     p.add_argument("--print-freq", dest="print_freq", type=int, default=None)
+    p.add_argument("--profile", default=None,
+                   help="capture a jax.profiler trace of the first few steps "
+                        "into this directory")
     return p

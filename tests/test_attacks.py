@@ -137,3 +137,40 @@ class TestSuite:
         acc_adv = float(jnp.mean((jnp.argmax(fwd(x_adv, None), -1) == y)))
         assert acc_adv <= acc_clean
         assert np.abs(np.asarray(x_adv - x)).max() <= 0.2 + 1e-5
+
+
+class TestRestartPGD:
+    def test_linf_restarts_and_ball(self, toy):
+        from edge_enhancement_tpu.attacks.restart_pgd import (RestartPGDConfig,
+                                                              attack_pgd)
+        fwd, x, y = toy
+        cfg = RestartPGDConfig(epsilon=0.1, alpha=0.03, attack_iters=5,
+                               restarts=2, norm="l_inf")
+        d = attack_pgd(fwd, x, y, jax.random.PRNGKey(20), cfg)
+        assert np.abs(np.asarray(d)).max() <= 0.1 + 1e-6
+        assert float((x + d).min()) >= -1e-6 and float((x + d).max()) <= 1 + 1e-6
+        l0 = float(cross_entropy(fwd(x, None), y, "sum"))
+        l1 = float(cross_entropy(fwd(x + d, None), y, "sum"))
+        assert l1 >= l0 - 1e-5
+
+    def test_l2_ball(self, toy):
+        from edge_enhancement_tpu.attacks.restart_pgd import (RestartPGDConfig,
+                                                              attack_pgd)
+        fwd, x, y = toy
+        cfg = RestartPGDConfig(epsilon=0.5, alpha=0.1, attack_iters=5,
+                               restarts=1, norm="l_2")
+        d = np.asarray(attack_pgd(fwd, x, y, jax.random.PRNGKey(21), cfg))
+        norms = np.linalg.norm(d.reshape(len(d), -1), axis=1)
+        assert (norms <= 0.5 + 1e-4).all()
+
+    def test_mixup_helpers(self):
+        from edge_enhancement_tpu.attacks.restart_pgd import (mixup_criterion,
+                                                              mixup_data)
+        x = jax.random.uniform(jax.random.PRNGKey(0), (8, 4, 4, 1))
+        y = jnp.arange(8) % 4
+        mx, ya, yb, lam = mixup_data(x, y, jax.random.PRNGKey(1), alpha=1.0)
+        assert mx.shape == x.shape and 0.0 <= float(lam) <= 1.0
+        loss = mixup_criterion(lambda p, t: cross_entropy(p, t, "mean"),
+                               jax.random.normal(jax.random.PRNGKey(2), (8, 4)),
+                               ya, yb, lam)
+        assert np.isfinite(float(loss))

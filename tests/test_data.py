@@ -1,0 +1,129 @@
+"""Data-layer tests: real-format loaders (idx/pickle/ImageFolder) against
+tiny generated fixtures, batch iteration invariants, host sharding, native
+runtime parity."""
+
+import gzip
+import os
+import pickle
+import struct
+
+import numpy as np
+import pytest
+
+from edge_enhancement_tpu.data import native
+from edge_enhancement_tpu.data.datasets import (ArrayDataset, cifar_augment,
+                                                get_dataset, load_cifar100,
+                                                load_image_folder, load_mnist,
+                                                synthetic_dataset, SPECS)
+
+
+def write_idx_images(path, arr):
+    with open(path, "wb") as f:
+        f.write(struct.pack(">HBB", 0, 8, arr.ndim))
+        for d in arr.shape:
+            f.write(struct.pack(">I", d))
+        f.write(arr.tobytes())
+
+
+class TestMnistLoader:
+    def test_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(0)
+        imgs = rng.integers(0, 256, (10, 28, 28), dtype=np.uint8)
+        labels = rng.integers(0, 10, (10,), dtype=np.uint8)
+        write_idx_images(tmp_path / "train-images-idx3-ubyte", imgs)
+        write_idx_images(tmp_path / "train-labels-idx1-ubyte", labels)
+        ds = load_mnist(str(tmp_path), train=True)
+        assert len(ds) == 10
+        x, y = next(ds.batches(4, shuffle=False, seed=0))
+        assert x.shape == (4, 28, 28, 1) and x.dtype == np.float32
+        np.testing.assert_allclose(x[0, :, :, 0], imgs[0] / 255.0)
+        np.testing.assert_array_equal(y, labels[:4])
+
+    def test_gzip_variant(self, tmp_path):
+        imgs = np.zeros((4, 28, 28), np.uint8)
+        labels = np.arange(4, dtype=np.uint8)
+        for name, arr in [("t10k-images-idx3-ubyte", imgs),
+                          ("t10k-labels-idx1-ubyte", labels)]:
+            raw_path = tmp_path / name
+            write_idx_images(raw_path, arr)
+            with open(raw_path, "rb") as f_in, gzip.open(str(raw_path) + ".gz", "wb") as f_out:
+                f_out.write(f_in.read())
+            os.unlink(raw_path)
+        ds = load_mnist(str(tmp_path), train=False)
+        assert len(ds) == 4
+
+
+class TestCifarLoader:
+    def test_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(1)
+        data = rng.integers(0, 256, (6, 3 * 32 * 32), dtype=np.uint8)
+        labels = list(rng.integers(0, 100, 6))
+        d = {b"data": data, b"fine_labels": labels}
+        base = tmp_path / "cifar-100-python"
+        base.mkdir()
+        with open(base / "test", "wb") as f:
+            pickle.dump(d, f)
+        ds = load_cifar100(str(tmp_path), train=False)
+        x, y = next(ds.batches(3, shuffle=False, seed=0))
+        assert x.shape == (3, 32, 32, 3)
+        # CHW -> HWC conversion check
+        np.testing.assert_allclose(
+            x[0, 0, 0], data[0].reshape(3, 32, 32)[:, 0, 0] / 255.0)
+
+
+class TestImageFolder:
+    def test_roundtrip(self, tmp_path):
+        from PIL import Image
+        for cls in ("n01", "n02"):
+            d = tmp_path / cls / "images"
+            d.mkdir(parents=True)
+            for i in range(3):
+                arr = np.full((64, 64, 3), 40 * i, np.uint8)
+                Image.fromarray(arr).save(d / f"{cls}_{i}.JPEG")
+        ds = load_image_folder(str(tmp_path), 64)
+        assert len(ds) == 6
+        x, y = next(ds.batches(6, shuffle=False, seed=0))
+        assert x.shape == (6, 64, 64, 3)
+        assert set(np.unique(y)) == {0, 1}
+
+
+class TestBatching:
+    def test_shuffle_determinism_and_epoch_variation(self):
+        ds = synthetic_dataset(SPECS["mnist"], 64)
+        b1 = [y.tolist() for _, y in ds.batches(16, shuffle=True, seed=5, epoch=0)]
+        b2 = [y.tolist() for _, y in ds.batches(16, shuffle=True, seed=5, epoch=0)]
+        b3 = [y.tolist() for _, y in ds.batches(16, shuffle=True, seed=5, epoch=1)]
+        assert b1 == b2
+        assert b1 != b3
+
+    def test_process_sharding_partitions(self):
+        ds = synthetic_dataset(SPECS["mnist"], 64)
+        all_idx = []
+        for p in range(4):
+            for x, y in ds.batches(8, shuffle=True, seed=3,
+                                   process_index=p, process_count=4):
+                all_idx.extend(y.tolist())
+        # 4 processes x 16 samples each = full pass, disjoint shards
+        assert len(all_idx) == 64
+
+    def test_drop_last(self):
+        ds = synthetic_dataset(SPECS["mnist"], 30)
+        n = sum(1 for _ in ds.batches(16, shuffle=False, seed=0, drop_last=True))
+        assert n == 1
+        n = sum(1 for _ in ds.batches(16, shuffle=False, seed=0, drop_last=False))
+        assert n == 2
+
+
+class TestNativeRuntime:
+    def test_available_and_parity(self):
+        rng = np.random.default_rng(2)
+        imgs = rng.integers(0, 256, (8, 16, 16, 3), dtype=np.uint8)
+        idx = np.arange(8, dtype=np.int64)[::-1].copy()
+        got = native.gather_to_float(imgs, idx)
+        np.testing.assert_allclose(got, imgs[idx].astype(np.float32) / 255)
+
+    def test_cifar_augment_shape_and_range(self):
+        rng = np.random.default_rng(3)
+        imgs = rng.integers(0, 256, (4, 32, 32, 3), dtype=np.uint8)
+        out = cifar_augment(imgs.copy(), rng)
+        assert out.shape == imgs.shape and out.dtype == np.uint8

@@ -274,6 +274,8 @@ def main():
             if limit is not None and i >= limit:
                 break
             dt.update(time.time() - end)
+            if cfg.get("profile") and epoch == start_epoch and i == 1:
+                jax.profiler.start_trace(cfg["profile"])
             key, k = jax.random.split(key)
             xb, yb = meshlib.shard_batch(mesh, (x, y))
             if awp_warmup is None:
@@ -282,6 +284,10 @@ def main():
                 awp_on = jnp.float32(1.0 if epoch >= awp_warmup else 0.0)
                 state, metrics = train_step(state, xb, yb, k, jnp.float32(lr),
                                             awp_on)
+            if cfg.get("profile") and epoch == start_epoch and i == 3:
+                jax.device_get(metrics)  # true sync before stopping the trace
+                jax.profiler.stop_trace()
+                log(f"=> profiler trace written to {cfg['profile']}")
             if i % int(cfg.get("print_freq", 50)) == 0:
                 m = jax.device_get(metrics)
                 losses.update(m["loss"], len(y))
