@@ -190,8 +190,14 @@ def synthetic_dataset(spec: DatasetSpec, n: int, seed: int = 0,
 
 
 def get_dataset(name: str, root: Optional[str], train: bool,
-                synthetic_size: Optional[int] = None) -> tuple[ArrayDataset, DatasetSpec]:
+                synthetic_size: Optional[int] = None,
+                image_size: Optional[int] = None
+                ) -> tuple[ArrayDataset, DatasetSpec]:
+    """`image_size` overrides the dataset's native size (the fast-AT
+    progressive-resize phases use crops 128/224/288 via their `cize` key)."""
     spec = SPECS[name]
+    if image_size and image_size != spec.image_size:
+        spec = dataclasses.replace(spec, image_size=int(image_size))
     if root in (None, "synthetic"):
         n = synthetic_size or (512 if train else 256)
         return synthetic_dataset(spec, n, seed=0 if train else 1,
@@ -200,11 +206,7 @@ def get_dataset(name: str, root: Optional[str], train: bool,
         return load_mnist(root, train), spec
     if name == "cifar100":
         return load_cifar100(root, train), spec
-    if name == "tiny_imagenet":
-        sub = os.path.join(root, "train" if train else "val")
-        return load_image_folder(sub, spec.image_size,
-                                 augment=hflip_batch if train else None), spec
-    if name == "imagenet":
+    if name in ("tiny_imagenet", "imagenet"):
         sub = os.path.join(root, "train" if train else "val")
         return load_image_folder(sub, spec.image_size,
                                  augment=hflip_batch if train else None), spec

@@ -42,8 +42,20 @@ def load_checkpoint(ckpt_dir: str, which: str = "last") -> Optional[dict]:
 
 
 def restore_into_state(state: Any, payload: dict) -> tuple[Any, int, float]:
-    """Rebuild a TrainState-shaped pytree from a checkpoint payload."""
-    restored = jax.tree.unflatten(jax.tree.structure(state),
-                                  jax.tree.leaves(payload["state"]))
+    """Rebuild a TrainState from a checkpoint payload.
+
+    Orbax restores nested DICTS (alphabetical leaf order), while the
+    TrainState dataclass flattens in field order — rebuild field-by-field
+    so the collections land in the right slots."""
+    saved = payload["state"]
+    restored = state.replace(
+        params=jax.tree.unflatten(jax.tree.structure(state.params),
+                                  jax.tree.leaves(saved["params"])),
+        batch_stats=jax.tree.unflatten(jax.tree.structure(state.batch_stats),
+                                       jax.tree.leaves(saved["batch_stats"])),
+        momentum_buf=jax.tree.unflatten(jax.tree.structure(state.momentum_buf),
+                                        jax.tree.leaves(saved["momentum_buf"])),
+        step=jax.tree.leaves(saved["step"])[0] if jax.tree.leaves(saved["step"])
+        else state.step)
     meta = payload["meta"]
     return restored, int(meta["epoch"]), float(meta["best_prec1"])

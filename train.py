@@ -185,8 +185,11 @@ def main():
     dataset_name = cfg["dataset"]
     seed = int(cfg.get("seed", 1))
 
-    train_ds, spec = get_dataset(dataset_name, cfg.get("data"), train=True)
-    val_ds, _ = get_dataset(dataset_name, cfg.get("data"), train=False)
+    image_size = cfg.get("cize") or cfg.get("crop_size")
+    train_ds, spec = get_dataset(dataset_name, cfg.get("data"), train=True,
+                                 image_size=image_size)
+    val_ds, _ = get_dataset(dataset_name, cfg.get("data"), train=False,
+                            image_size=image_size)
     num_classes = spec.num_classes
 
     model = build_model(cfg["arch"], cfg, num_classes)
