@@ -113,3 +113,28 @@ class TestAnalysis:
         img = np.random.default_rng(0).random((32, 32, 3)).astype(np.float32)
         low, high = frequency_split(img, 8)
         np.testing.assert_allclose(low + high, img, atol=1e-5)
+
+
+class TestFreeFastMesh:
+    def test_free_step_on_8_device_mesh(self):
+        """Free-AT's persistent noise buffer is batch-sharded over the mesh
+        (SURVEY hardest-part (d): noise state x data sharding)."""
+        from edge_enhancement_tpu.parallel import mesh as meshlib
+        mesh = meshlib.make_mesh()
+        if mesh.devices.size < 8:
+            pytest.skip("needs 8 virtual devices")
+        ops = ModelOps(net2())
+        x = np.random.default_rng(0).random((16, 28, 28, 1)).astype(np.float32)
+        y = np.arange(16, dtype=np.int32) % 10
+        state = create_train_state(ops, jax.random.PRNGKey(1),
+                                   jnp.asarray(x[:1]))
+        state = meshlib.replicate(mesh, state)
+        cfg = FreeFastConfig(n_repeats=2, fgsm_step=0.05, clip_eps=0.1)
+        step = build_free_train_step(ops, cfg, OptimConfig(0.9), mesh=mesh)
+        noise = meshlib.shard_batch(mesh, np.zeros((16, 28, 28, 1), np.float32))
+        xb, yb = meshlib.shard_batch(mesh, (x, y))
+        s2, n2, m = step(state, noise, xb, yb, jax.random.PRNGKey(2),
+                         jnp.float32(0.1))
+        assert np.isfinite(float(m["loss"]))
+        # noise stays sharded on the data axis
+        assert "data" in str(n2.sharding.spec)
