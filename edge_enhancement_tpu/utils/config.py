@@ -73,4 +73,16 @@ def base_parser(description: str = "edge_enhancement_tpu trainer") -> argparse.A
     p.add_argument("--profile", default=None,
                    help="capture a jax.profiler trace of the first few steps "
                         "into this directory")
+    p.add_argument("--platform", default=None,
+                   help="force a JAX platform (e.g. cpu) — the environment's "
+                        "axon import hook overrides JAX_PLATFORMS, so this "
+                        "re-sets jax.config after import")
     return p
+
+
+def apply_platform(cfg) -> None:
+    """Apply --platform AFTER jax import (see CLAUDE.md: the axon plugin
+    force-appends itself during `import jax`, ignoring the env var)."""
+    if cfg.get("platform"):
+        import jax
+        jax.config.update("jax_platforms", str(cfg["platform"]))

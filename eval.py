@@ -27,7 +27,8 @@ from edge_enhancement_tpu.train.modelops import ModelOps, topk_accuracy
 from edge_enhancement_tpu.train.trainer import (EvalAttackConfig,
                                                 build_eval_step,
                                                 create_train_state)
-from edge_enhancement_tpu.utils.config import base_parser, load_config
+from edge_enhancement_tpu.utils.config import (apply_platform, base_parser,
+                                                load_config)
 from edge_enhancement_tpu.utils.meters import AverageMeter, Logger
 
 
@@ -39,6 +40,7 @@ def main():
                         help="cap AA to first N batches")
     args = parser.parse_args()
     cfg = load_config(args.config, vars(args))
+    apply_platform(cfg)
 
     val_ds, spec = get_dataset(cfg["dataset"], cfg.get("data"), train=False)
     model = build_model(cfg["arch"], cfg, spec.num_classes)

@@ -39,7 +39,8 @@ from edge_enhancement_tpu.train.trainer import (EvalAttackConfig, OptimConfig,
                                                 build_eval_step,
                                                 build_train_step,
                                                 create_train_state)
-from edge_enhancement_tpu.utils.config import base_parser, load_config
+from edge_enhancement_tpu.utils.config import (apply_platform, base_parser,
+                                                load_config)
 from edge_enhancement_tpu.utils.meters import (AverageMeter, Logger,
                                                adv_summary, clean_summary,
                                                train_line)
@@ -175,6 +176,7 @@ def run_free_fast(cfg, ops, mesh, state, train_ds, val_ds, log, out_dir,
 def main():
     args = base_parser().parse_args()
     cfg = load_config(args.config, vars(args))
+    apply_platform(cfg)
 
     # Multi-host: one line replaces the reference's torch.distributed.launch +
     # NCCL process groups (experiments_imagenet.py:56). Each host then runs
