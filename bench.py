@@ -27,11 +27,26 @@ REFERENCE_IMG_PER_SEC = 130.0  # BASELINE.md: ~0.73-0.80 s/iter @ bs100
 
 def main():
     import os
-    batch_size = int(os.environ.get("EE_BENCH_BATCH", 100))
-    spec = SPECS["tiny_imagenet"]
-    args = dict(r=8, w=1.0, gf=False, low=38.0, high=76.0, alpha=0.0,
-                sigma=1.0, type_canny="CannyFilter_step125_1",
-                epsilon=0.062745098039216, n_queries=1, cize=64)
+    # EE_BENCH_WORKLOAD=imagenet_r50 switches to the BASELINE.json north-star
+    # workload (ResNet50_EE @224 PGD-10); default is the reference's recorded
+    # TinyIN ResNet18_EE_square workload.
+    workload = os.environ.get("EE_BENCH_WORKLOAD", "tinyin_r18")
+    if workload == "imagenet_r50":
+        batch_size = int(os.environ.get("EE_BENCH_BATCH", 64))
+        spec = SPECS["imagenet"]
+        arch = "resnet50_EE"
+        metric = "imagenet_resnet50_ee_pgd10_at_throughput"
+        args = dict(r=16, w=1.0, gf=False, low=38.0, high=76.0, alpha=0.0,
+                    sigma=1.0, type_canny="CannyFilter_step125_1",
+                    epsilon=0.062745098039216, n_queries=1, cize=224)
+    else:
+        batch_size = int(os.environ.get("EE_BENCH_BATCH", 100))
+        spec = SPECS["tiny_imagenet"]
+        arch = "resnet18_EE_square"
+        metric = "tinyin_resnet18_ee_bpda3_pgd10_at_throughput"
+        args = dict(r=8, w=1.0, gf=False, low=38.0, high=76.0, alpha=0.0,
+                    sigma=1.0, type_canny="CannyFilter_step125_1",
+                    epsilon=0.062745098039216, n_queries=1, cize=64)
     # optional fast modes (headline stays the f32 parity workload):
     #   EE_BENCH_DTYPE=bfloat16  -> mixed precision (~+20%)
     #   EE_BENCH_FUSED=1         -> pallas fused canny front-end
@@ -39,13 +54,14 @@ def main():
         args["dtype"] = os.environ["EE_BENCH_DTYPE"]
     if os.environ.get("EE_BENCH_FUSED"):
         args["fused_canny"] = True
-    model = build_model("resnet18_EE_square", args, spec.num_classes)
+    model = build_model(arch, args, spec.num_classes)
     ops = ModelOps(model)
     mesh = meshlib.make_mesh()
 
     mcfg = MethodConfig(method_name="EE_BPDA3_AT_square",
                         epsilon=0.062745098039216, num_steps=10,
-                        step_size=0.007843137254902, num_classes=200)
+                        step_size=0.007843137254902,
+                        num_classes=spec.num_classes)
     step = build_train_step(ops, mcfg, OptimConfig(momentum=0.9,
                                                    weight_decay=2e-4),
                             mesh=mesh, donate=True)
@@ -79,7 +95,7 @@ def main():
 
     img_per_sec = batch_size / dt
     print(json.dumps({
-        "metric": "tinyin_resnet18_ee_bpda3_pgd10_at_throughput",
+        "metric": metric,
         "value": round(img_per_sec, 2),
         "unit": "img/s",
         "vs_baseline": round(img_per_sec / REFERENCE_IMG_PER_SEC, 3),
