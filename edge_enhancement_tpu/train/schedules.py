@@ -37,10 +37,16 @@ def multistep(init_lr: float, epoch: int, milestones=(50, 80), gamma: float = 0.
 
 
 def cyclic_interp(lr_min: float, lr_max: float, step: int, total_steps: int) -> float:
-    """Fast-AT cyclic schedule: np.interp over [0, total/2, total]
-    (fgsm_imagenet/main_fast.py:172)."""
+    """Symmetric triangular interp (generic cyclic fallback)."""
     return float(np.interp([step], [0, total_steps * 0.5, total_steps],
                            [lr_min, lr_max, lr_min])[0])
+
+
+def interp_knots(epoch_float: float, lr_epochs, lr_values) -> float:
+    """Fast-AT schedule: np.interp over absolute-epoch knots, evaluated at
+    epoch + minibatch fraction (fgsm_imagenet/main_fast.py:172,227-230;
+    phase configs give knots like [0,1,6] -> [0,0.4,0.04])."""
+    return float(np.interp([epoch_float], list(lr_epochs), list(lr_values))[0])
 
 
 def get_schedule(name: str):

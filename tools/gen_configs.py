@@ -169,11 +169,18 @@ CONFIGS["free_imagenet"] = (FREE_BASE, {
 def _fast_phase(eps_px, phase, ee):
     crop = {1: 128, 2: 224, 3: 288}[phase]
     r = {1: 12, 2: 16, 3: 18}[phase]
-    c = dict(dataset="imagenet", lr_schedule="cyclic", method_name="fast_AT",
+    # absolute-epoch LR knots spanning the three phases (reference
+    # configs_fast_2px_phase*_ee.yml TRAIN.lr_epochs/lr_values)
+    knots = {1: ([0, 1, 6], [0.0, 0.4, 0.04]),
+             2: ([6, 12], [0.04, 0.004]),
+             3: ([12, 15], [0.004, 0.0004])}[phase]
+    c = dict(dataset="imagenet", lr_schedule="fast_knots", method_name="fast_AT",
              arch="resnet50_EE" if ee else "resnet50",
-             start_epoch=0, epochs={1: 6, 2: 6, 3: 3}[phase],
+             start_epoch={1: 0, 2: 6, 3: 12}[phase],
+             epochs={1: 6, 2: 12, 3: 15}[phase],
+             lr_epochs=knots[0], lr_values=knots[1],
              batch_size={1: 256, 2: 128, 3: 96}[phase],
-             lr=0.1, lr_min=0.0, lr_max={1: 0.4, 2: 0.04, 3: 0.004}[phase],
+             lr=0.1, half=True,
              momentum=0.9, weight_decay=0.0001, print_freq=10, seed=1,
              cize=crop, n_repeats=1, fgsm_step=eps_px * 1.25,
              clip_eps=float(eps_px), random_init=True,

@@ -118,6 +118,7 @@ def run_free_fast(cfg, ops, mesh, state, train_ds, val_ds, log, out_dir,
     cize = int(cfg.get("cize", cfg.get("crop_size", 224)))
     channels = 1 if cfg["dataset"] == "mnist" else 3
     noise = meshlib.shard_batch(mesh, init_noise(batch_size, cize, channels))
+    start_epoch = int(cfg.get("start_epoch", 0))
     epochs = int(math.ceil(int(cfg["epochs"]) / n_repeats)) if not fast \
         else int(cfg["epochs"])
     limit = cfg.get("limit_batches")
@@ -131,7 +132,7 @@ def run_free_fast(cfg, ops, mesh, state, train_ds, val_ds, log, out_dir,
         float(cfg.get("step_size_1", 1 / 255)),
         True, num_classes), mesh=mesh)
 
-    for epoch in range(epochs):
+    for epoch in range(start_epoch if fast else 0, epochs):
         bt, dt, losses, top1, top5 = (AverageMeter() for _ in range(5))
         end = time.time()
         for i, (x, y) in enumerate(train_ds.batches(batch_size, shuffle=True,
@@ -141,11 +142,11 @@ def run_free_fast(cfg, ops, mesh, state, train_ds, val_ds, log, out_dir,
                 break
             dt.update(time.time() - end)
             if fast:
-                total = epochs * n_batches * n_repeats
-                cur = (epoch * n_batches + i) * n_repeats
-                lr = schedules.cyclic_interp(
-                    float(cfg.get("lr_min", 0.0)),
-                    float(cfg.get("lr_max", cfg.get("lr", 0.4))), cur, total)
+                # piecewise-linear absolute-epoch knots (main_fast.py:172)
+                ep_f = epoch + (i * n_repeats + 1) / max(n_batches, 1)
+                knots_e = cfg.get("lr_epochs") or [start_epoch, epochs]
+                knots_v = cfg.get("lr_values") or [float(cfg.get("lr", 0.1))] * 2
+                lr = schedules.interp_knots(ep_f, knots_e, knots_v)
             else:
                 lr = schedules.step30_free(float(cfg["lr"]), epoch, n_repeats)
             key, k = jax.random.split(key)
@@ -218,9 +219,11 @@ def main():
     state = meshlib.replicate(mesh, state)
 
     mcfg = make_method_config(cfg, num_classes)
+    # NOTE: the MNIST driver's TRADES-without-weight-decay quirk
+    # (experiments_mnist.py:90-92) is encoded in the mnist TRADES config
+    # (weight_decay: 0); the TinyIN driver applies wd to TRADES normally.
     opt = OptimConfig(momentum=float(cfg.get("momentum", 0.9)),
-                      weight_decay=float(cfg.get("weight_decay", 0.0))
-                      if mcfg.method_name != "TRADES" else 0.0)
+                      weight_decay=float(cfg.get("weight_decay", 0.0)))
 
     # free/fast AT have their own replay loop (reference free_imagenet /
     # fgsm_imagenet drivers); dispatch before the generic objective path.
