@@ -163,6 +163,35 @@ def load_image_folder(root: str, image_size: int, augment=None,
     return ArrayDataset(np.stack(imgs), np.asarray(labels), augment=augment)
 
 
+def load_tiny_imagenet_val(root: str, image_size: int) -> ArrayDataset:
+    """Raw Tiny-ImageNet val split: val/images/*.JPEG labelled by
+    val_annotations.txt (tab-separated: filename, wnid, bbox...)."""
+    from PIL import Image
+    train_dir = os.path.join(root, "train")
+    classes = sorted(d for d in os.listdir(train_dir)
+                     if os.path.isdir(os.path.join(train_dir, d)))
+    class_to_idx = {c: i for i, c in enumerate(classes)}
+    val_dir = os.path.join(root, "val")
+    ann = {}
+    with open(os.path.join(val_dir, "val_annotations.txt")) as f:
+        for line in f:
+            parts = line.strip().split("\t")
+            if len(parts) >= 2:
+                ann[parts[0]] = class_to_idx[parts[1]]
+    imgs, labels = [], []
+    img_dir = os.path.join(val_dir, "images")
+    for fn in sorted(os.listdir(img_dir)):
+        if fn not in ann:
+            continue
+        with Image.open(os.path.join(img_dir, fn)) as im:
+            im = im.convert("RGB")
+            if im.size != (image_size, image_size):
+                im = im.resize((image_size, image_size), Image.BILINEAR)
+            imgs.append(np.asarray(im, np.uint8))
+        labels.append(ann[fn])
+    return ArrayDataset(np.stack(imgs), np.asarray(labels))
+
+
 # --------------------------------------------------------------------------
 # Synthetic data (smoke tests / benchmarks without the real datasets)
 # --------------------------------------------------------------------------
@@ -208,6 +237,12 @@ def get_dataset(name: str, root: Optional[str], train: bool,
         return load_cifar100(root, train), spec
     if name in ("tiny_imagenet", "imagenet"):
         sub = os.path.join(root, "train" if train else "val")
+        if (not train and name == "tiny_imagenet"
+                and os.path.exists(os.path.join(sub, "val_annotations.txt"))):
+            # raw Tiny-ImageNet val layout (val/images + val_annotations.txt);
+            # the reference requires manual restructuring into class dirs —
+            # we read it directly, using the train split's class indexing.
+            return load_tiny_imagenet_val(root, spec.image_size), spec
         return load_image_folder(sub, spec.image_size,
                                  augment=hflip_batch if train else None), spec
     raise ValueError(name)

@@ -127,3 +127,28 @@ class TestNativeRuntime:
         imgs = rng.integers(0, 256, (4, 32, 32, 3), dtype=np.uint8)
         out = cifar_augment(imgs.copy(), rng)
         assert out.shape == imgs.shape and out.dtype == np.uint8
+
+
+class TestTinyImagenetRawVal:
+    def test_raw_val_layout(self, tmp_path):
+        from PIL import Image
+        from edge_enhancement_tpu.data.datasets import get_dataset
+        # train split with class dirs (defines the indexing)
+        for cls in ("n100", "n200"):
+            d = tmp_path / "train" / cls / "images"
+            d.mkdir(parents=True)
+            Image.fromarray(np.zeros((64, 64, 3), np.uint8)).save(d / "x.JPEG")
+        # raw val layout
+        vd = tmp_path / "val" / "images"
+        vd.mkdir(parents=True)
+        for i, cls in enumerate(["n200", "n100", "n200"]):
+            Image.fromarray(np.full((64, 64, 3), 10 * i, np.uint8)).save(
+                vd / f"val_{i}.JPEG")
+        with open(tmp_path / "val" / "val_annotations.txt", "w") as f:
+            f.write("val_0.JPEG\tn200\t0 0 1 1\n")
+            f.write("val_1.JPEG\tn100\t0 0 1 1\n")
+            f.write("val_2.JPEG\tn200\t0 0 1 1\n")
+        ds, _ = get_dataset("tiny_imagenet", str(tmp_path), train=False)
+        x, y = next(ds.batches(3, shuffle=False, seed=0))
+        assert x.shape == (3, 64, 64, 3)
+        np.testing.assert_array_equal(y, [1, 0, 1])  # n100=0, n200=1
