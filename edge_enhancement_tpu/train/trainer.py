@@ -115,9 +115,10 @@ def build_eval_step(ops: ModelOps, atk: EvalAttackConfig, mesh=None) -> Callable
             loss_fn = eval_loss(state.params, state.batch_stats, y)
             x_adv, _ = pgd_linf(loss_fn, x, key_atk, pcfg)
             # extra restarts: keep the first run's output, then swap in any
-            # restart that flips a still-correct prediction (validation.py:50-57)
-            for _ in range(atk.restarts - 1):
-                key_atk, k_r, k_p = jax.random.split(key_atk, 3)
+            # restart that flips a still-correct prediction (validation.py:50-57).
+            # fold_in keeps restart streams independent of the consumed key.
+            for r in range(1, atk.restarts):
+                k_r, k_p = jax.random.split(jax.random.fold_in(key_atk, r))
                 cand, _ = pgd_linf(loss_fn, x, k_r, pcfg)
                 pred = jnp.argmax(ops.logits_eval(state.params,
                                                   state.batch_stats, cand, k_p),
