@@ -91,6 +91,33 @@ def hflip_batch(imgs: np.ndarray, rng) -> np.ndarray:
     return native.hflip(imgs, flip)
 
 
+def random_resized_crop_augment(imgs: np.ndarray, rng) -> np.ndarray:
+    """torchvision RandomResizedCrop semantics (scale 0.08-1.0, ratio
+    3/4-4/3, 10 tries then centre fallback) + hflip, on the native resize
+    kernel (reference ImageNet train transform, utils/data_loader.py:104-108).
+    Output size equals the stored image size."""
+    n, h, w, c = imgs.shape
+    area = h * w
+    boxes = np.empty((n, 4), np.int32)
+    for i in range(n):
+        for _ in range(10):
+            target_area = rng.uniform(0.08, 1.0) * area
+            log_ratio = rng.uniform(np.log(3 / 4), np.log(4 / 3))
+            ratio = np.exp(log_ratio)
+            bw = int(round(np.sqrt(target_area * ratio)))
+            bh = int(round(np.sqrt(target_area / ratio)))
+            if 0 < bw <= w and 0 < bh <= h:
+                by = rng.integers(0, h - bh + 1)
+                bx = rng.integers(0, w - bw + 1)
+                boxes[i] = (by, bx, bh, bw)
+                break
+        else:
+            s = min(h, w)
+            boxes[i] = ((h - s) // 2, (w - s) // 2, s, s)
+    out = native.resize_crops(imgs, boxes, h, w)
+    return native.hflip(out, rng.random(n) < 0.5)
+
+
 def cifar_augment(imgs: np.ndarray, rng) -> np.ndarray:
     """RandomCrop(32, padding=4) + hflip + RandomRotation(15), on the native
     runtime (reference transform order: utils/data_loader.py:32-36)."""
@@ -243,6 +270,12 @@ def get_dataset(name: str, root: Optional[str], train: bool,
             # the reference requires manual restructuring into class dirs —
             # we read it directly, using the train split's class indexing.
             return load_tiny_imagenet_val(root, spec.image_size), spec
-        return load_image_folder(sub, spec.image_size,
-                                 augment=hflip_batch if train else None), spec
+        if train:
+            # TinyIN trains with hflip only; ImageNet with RandomResizedCrop
+            # + hflip (reference utils/data_loader.py:66-71, 104-108)
+            augment = (hflip_batch if name == "tiny_imagenet"
+                       else random_resized_crop_augment)
+        else:
+            augment = None
+        return load_image_folder(sub, spec.image_size, augment=augment), spec
     raise ValueError(name)

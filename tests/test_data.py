@@ -152,3 +152,14 @@ class TestTinyImagenetRawVal:
         x, y = next(ds.batches(3, shuffle=False, seed=0))
         assert x.shape == (3, 64, 64, 3)
         np.testing.assert_array_equal(y, [1, 0, 1])  # n100=0, n200=1
+
+
+class TestRandomResizedCrop:
+    def test_shape_range_and_variation(self):
+        from edge_enhancement_tpu.data.datasets import random_resized_crop_augment
+        rng = np.random.default_rng(5)
+        imgs = rng.integers(0, 256, (4, 64, 64, 3), dtype=np.uint8)
+        out = random_resized_crop_augment(imgs.copy(), rng)
+        assert out.shape == imgs.shape and out.dtype == np.uint8
+        # crops differ per sample and from the originals (w.h.p.)
+        assert not np.array_equal(out, imgs)
