@@ -53,8 +53,13 @@ class OptimConfig:
 
 
 def build_train_step(ops: ModelOps, method: MethodConfig, opt: OptimConfig,
-                     mesh=None, donate: bool = False) -> Callable:
-    """Returns jitted step(state, x, y, key, lr) -> (state, metrics)."""
+                     mesh=None, donate: bool = False,
+                     state_sharding=None) -> Callable:
+    """Returns jitted step(state, x, y, key, lr) -> (state, metrics).
+
+    `state_sharding` (optional, requires mesh) supplies per-leaf shardings
+    for the TrainState — used for tensor-parallel parameter layouts
+    (parallel/sharding.py); default is fully replicated parameters."""
     objective = Objective(ops, method)
 
     def step_fn(state: TrainState, x, y, key, lr):
@@ -73,8 +78,9 @@ def build_train_step(ops: ModelOps, method: MethodConfig, opt: OptimConfig,
         return jax.jit(step_fn, **donate_kw)
     rep = meshlib.replicated(mesh)
     dat = meshlib.batch_sharding(mesh)
-    return jax.jit(step_fn, in_shardings=(rep, dat, dat, rep, rep),
-                   out_shardings=(rep, rep), **donate_kw)
+    st_sh = state_sharding if state_sharding is not None else rep
+    return jax.jit(step_fn, in_shardings=(st_sh, dat, dat, rep, rep),
+                   out_shardings=(st_sh, rep), **donate_kw)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -170,3 +170,40 @@ class TestDataParallel:
         l2 = jax.tree.leaves(s2.params)
         for a, b in zip(l1, l2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestTensorParallel:
+    def test_dp_tp_mesh_matches_pure_dp(self, mnist_state):
+        """2-D (data x model) mesh with column-parallel kernels must produce
+        the same numerics as pure DP (GSPMD inserts the collectives)."""
+        from edge_enhancement_tpu.parallel import sharding as shardlib
+        ops, _ = mnist_state
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        x, y = make_batch(bs=16)
+        mcfg = MethodConfig(method_name="ST", num_classes=10)
+
+        mesh_dp = meshlib.make_mesh(n_data=8, n_model=1)
+        s_dp = create_train_state(ops, jax.random.PRNGKey(30), x[:1])
+        s_dp = meshlib.replicate(mesh_dp, s_dp)
+        step_dp = build_train_step(ops, mcfg, OptimConfig(momentum=0.9),
+                                   mesh=mesh_dp)
+        out_dp, m_dp = step_dp(s_dp, *meshlib.shard_batch(mesh_dp, (np.asarray(x), np.asarray(y))),
+                               jax.random.PRNGKey(31), jnp.float32(0.1))
+
+        mesh_tp = meshlib.make_mesh(n_data=4, n_model=2)
+        s_tp = create_train_state(ops, jax.random.PRNGKey(30), x[:1])
+        s_tp = shardlib.shard_state(mesh_tp, s_tp)
+        sh = shardlib.state_shardings(mesh_tp, s_tp)
+        step_tp = build_train_step(ops, mcfg, OptimConfig(momentum=0.9),
+                                   mesh=mesh_tp, state_sharding=sh)
+        out_tp, m_tp = step_tp(s_tp, *meshlib.shard_batch(mesh_tp, (np.asarray(x), np.asarray(y))),
+                               jax.random.PRNGKey(31), jnp.float32(0.1))
+
+        np.testing.assert_allclose(float(m_dp["loss"]), float(m_tp["loss"]),
+                                   rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(out_dp.params), jax.tree.leaves(out_tp.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        # the dense kernel is actually sharded over 'model'
+        dk = out_tp.params["Dense_0"]["kernel"]
+        assert "model" in str(dk.sharding.spec)
