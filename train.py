@@ -92,7 +92,9 @@ def run_validation(log, eval_step, mesh, state, ds, cfg, *, num_steps, step_size
     log(clean_summary(clean1, clean5))
     if adv1.count:
         log(adv_summary(adv1, adv5))
-    return clean1.avg, adv1.avg
+    # the reference's validate() returns the ADVERSARIAL top-1/top-5
+    # (experiments_mnist.py:357) — best-checkpoint selection tracks robustness
+    return (adv1.avg if adv1.count else clean1.avg), clean1.avg
 
 
 def run_free_fast(cfg, ops, mesh, state, train_ds, val_ds, log, out_dir,
