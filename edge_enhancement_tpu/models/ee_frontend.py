@@ -57,10 +57,14 @@ class EEConfig:
 
 
 def ee_frontend(x: jnp.ndarray, cfg: EEConfig,
-                square_key: Optional[jax.Array] = None) -> jnp.ndarray:
-    """Apply the defense front-end to an NHWC batch in [0, 1]."""
-    canny_fn = CANNY_VARIANTS[cfg.type_canny]
+                square_key: Optional[jax.Array] = None,
+                edge_map: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Apply the defense front-end to an NHWC batch in [0, 1].
 
+    `edge_map` supplies a precomputed (B, H, W, 1) edge map in place of the
+    Canny variants — used for the learned U2-Net extractor (the reference
+    instantiates U2NETP inside ResNet_EE as the alternative edge source,
+    resnet_EE.py:130-131)."""
     if cfg.square:
         if square_key is None:
             raise ValueError("EEConfig.square=True requires a PRNG key")
@@ -69,12 +73,15 @@ def ee_frontend(x: jnp.ndarray, cfg: EEConfig,
         x_in = x
 
     x_hfs = high_freq_suppress(x_in, cfg.r)
-    # Canny always sees the clean input, even in the _square variants
-    # (Net2_EE_square.py:49-55, resnet_EE_square forward).
-    if cfg.fused and cfg.type_canny == "CannyFilter_step125_1":
+    # the edge branch always sees the clean input, even in the _square
+    # variants (Net2_EE_square.py:49-55, resnet_EE_square forward).
+    if edge_map is not None:
+        x_canny = edge_map
+    elif cfg.fused and cfg.type_canny == "CannyFilter_step125_1":
         from ..ops.pallas.canny_fused import canny_step125_fused
         x_canny = canny_step125_fused(x, cfg.high_scaled, cfg.sigma, cfg.alpha)
     else:
+        canny_fn = CANNY_VARIANTS[cfg.type_canny]
         x_canny = canny_fn(x, cfg.low_scaled, cfg.high_scaled, hysteresis=True,
                            sigma=cfg.sigma, alpha=cfg.alpha)
     if cfg.with_gf:

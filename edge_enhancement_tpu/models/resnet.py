@@ -124,7 +124,13 @@ class ResNet(nn.Module):
     def __call__(self, x, train: bool = False):
         if self.ee is not None:
             square_key = self.make_rng("square") if self.ee.square else None
-            x = ee_frontend(x, self.ee, square_key)
+            edge_map = None
+            if self.ee.type_canny == "u2netp":
+                # learned edge extractor (the reference's alternative edge
+                # source, resnet_EE.py:130-131; BASELINE north-star)
+                from .u2net import U2Net
+                edge_map = U2Net(full=False)(x, train)
+            x = ee_frontend(x, self.ee, square_key, edge_map=edge_map)
         if self.dtype is not None:
             x = x.astype(self.dtype)
 

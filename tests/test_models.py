@@ -109,3 +109,30 @@ class TestU2Net:
         assert mag.shape == (1, 16, 16, 1)
         assert mag[0, 8, 7, 0] > 0  # edge fires at the step
         assert mag[0, 8, 2, 0] == 0  # flat region silent
+
+
+class TestU2NetFrontend:
+    def test_u2netp_edge_extractor_trains(self):
+        """type_canny='u2netp' swaps the Canny edge map for the learned
+        U2-Net extractor (reference ResNet_EE's alternative edge source)."""
+        from edge_enhancement_tpu.objectives.methods import MethodConfig
+        from edge_enhancement_tpu.train.trainer import (OptimConfig,
+                                                        build_train_step,
+                                                        create_train_state)
+        model = build_model("resnet18_EE",
+                            {**EE_ARGS, "type_canny": "u2netp"}, 16)
+        ops = ModelOps(model)
+        x = jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 32, 3))
+        y = jnp.arange(2) % 16
+        state = create_train_state(ops, jax.random.PRNGKey(1), x[:1])
+        # u2netp params are part of the train state and receive gradients
+        assert "U2Net_0" in state.params
+        mcfg = MethodConfig(method_name="AT", epsilon=0.06, num_steps=1,
+                            step_size=0.03, num_classes=16)
+        step = build_train_step(ops, mcfg, OptimConfig(momentum=0.9))
+        s2, m = step(state, x, y, jax.random.PRNGKey(2), jnp.float32(0.1))
+        assert np.isfinite(float(m["loss"]))
+        d = sum(float(jnp.abs(a - b).sum()) for a, b in
+                zip(jax.tree.leaves(state.params["U2Net_0"]),
+                    jax.tree.leaves(s2.params["U2Net_0"])))
+        assert d > 0  # the edge extractor itself is trained end-to-end
