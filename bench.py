@@ -8,9 +8,17 @@ Runs on whatever jax.devices() provides (the real TPU chip under axon).
 """
 
 import json
+import os
 import time
 
 import jax
+
+# Persistent compilation cache: remote TPU compiles of the fused PGD-10 step
+# take minutes; cache them across bench invocations.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/ee_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -26,7 +34,6 @@ REFERENCE_IMG_PER_SEC = 130.0  # BASELINE.md: ~0.73-0.80 s/iter @ bs100
 
 
 def main():
-    import os
     # EE_BENCH_WORKLOAD=imagenet_r50 switches to the BASELINE.json north-star
     # workload (ResNet50_EE @224 PGD-10); default is the reference's recorded
     # TinyIN ResNet18_EE_square workload.
