@@ -46,6 +46,7 @@ class PGDConfig:
     clip_min: float = 0.0
     clip_max: float = 1.0
     project: bool = True         # FGSM skips the eps-ball projection
+    unroll: int = 1              # fori_loop unroll factor (scheduling knob)
 
 
 def _init_perturbation(cfg: PGDConfig, key: jax.Array, x: jnp.ndarray) -> jnp.ndarray:
@@ -86,7 +87,8 @@ def pgd_linf(loss_fn: LossFn, x_natural: jnp.ndarray, key: jax.Array,
         return x, aux_c, k
 
     x_adv, aux, _ = jax.lax.fori_loop(0, cfg.num_steps, body,
-                                      (x0, aux, key_loop))
+                                      (x0, aux, key_loop),
+                                      unroll=cfg.unroll)
     return x_adv, aux
 
 
