@@ -78,7 +78,8 @@ def build_awp_train_step(ops: ModelOps, method: MethodConfig, opt: OptimConfig,
         sg_params = jax.lax.stop_gradient(state.params)
 
         pcfg = PGDConfig(method.epsilon, method.num_steps, method.step_size,
-                         random_init=("uniform" if method.random else "none"))
+                         random_init=("uniform" if method.random else "none"),
+                         unroll=max(1, min(method.num_steps, 10)))
         x_adv, bs = pgd_linf(attack_loss(sg_params, y), x, key_atk, pcfg,
                              aux=state.batch_stats)
         x_adv = jax.lax.stop_gradient(x_adv)

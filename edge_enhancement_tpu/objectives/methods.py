@@ -56,6 +56,13 @@ class MethodConfig:
     square_size: int = 64
 
 
+def _unroll(num_steps: int) -> int:
+    """Attack-loop unroll policy: full unroll measured +14% on TPU for
+    PGD-10 (while-loops block cross-iteration scheduling); cap at 10 to
+    bound compile time for PGD-40/100 loops."""
+    return max(1, min(num_steps, 10))
+
+
 def canonical_method(name: str) -> str:
     """Map the reference's many method_name strings onto objective kinds.
 
@@ -155,7 +162,7 @@ class Objective:
         pcfg = PGDConfig(epsilon=cfg.epsilon, num_steps=cfg.num_steps,
                          step_size=cfg.step_size, random_init=init,
                          prob_start_from_clean=cfg.prob_start_from_clean,
-                         ascend=ascend)
+                         ascend=ascend, unroll=_unroll(cfg.num_steps))
         x_adv, bs = pgd_linf(self._train_ce_sum(sg_params, attack_labels),
                              x, key_atk, pcfg, aux=batch_stats)
         x_adv = jax.lax.stop_gradient(x_adv)
@@ -176,11 +183,13 @@ class Objective:
         if kind == "tar_alp":
             tgt = random_targets(key_tgt, y, cfg.num_classes)
             pcfg = PGDConfig(cfg.epsilon, cfg.num_steps, cfg.step_size,
-                             random_init="gaussian", ascend=False)
+                             random_init="gaussian", ascend=False,
+                             unroll=_unroll(cfg.num_steps))
             attack = self._eval_ce(sg_params, bs1, tgt)
         else:
             pcfg = PGDConfig(cfg.epsilon, cfg.num_steps, cfg.step_size,
-                             random_init="gaussian", ascend=True)
+                             random_init="gaussian", ascend=True,
+                             unroll=_unroll(cfg.num_steps))
             attack = self._eval_ce(sg_params, bs1, y)
         x_adv, _ = pgd_linf(attack, x, key_atk, pcfg, aux=None)
         x_adv = jax.lax.stop_gradient(x_adv)
@@ -201,7 +210,8 @@ class Objective:
         preds0, bs1 = self.ops.logits_train(sg_params, batch_stats, x, key_clean)
         clean_prob0 = jax.nn.softmax(preds0, axis=-1)
         pcfg = PGDConfig(cfg.epsilon, cfg.num_steps, cfg.step_size,
-                         random_init="gaussian", ascend=True)
+                         random_init="gaussian", ascend=True,
+                         unroll=_unroll(cfg.num_steps))
         x_adv, _ = pgd_linf(self._eval_kl(sg_params, bs1, clean_prob0),
                             x, key_atk, pcfg, aux=None)
         x_adv = jax.lax.stop_gradient(x_adv)
@@ -241,7 +251,7 @@ class Objective:
 
         pcfg = PGDConfig(cfg.epsilon, cfg.num_steps, cfg.step_size,
                          random_init=("uniform" if cfg.random else "none"),
-                         ascend=ascend)
+                         ascend=ascend, unroll=_unroll(cfg.num_steps))
         x_adv, bs = pgd_linf(attack, x, key_atk, pcfg, aux=batch_stats)
         x_adv = jax.lax.stop_gradient(x_adv)
 
