@@ -117,7 +117,8 @@ def build_eval_step(ops: ModelOps, atk: EvalAttackConfig, mesh=None) -> Callable
             return metrics
         if atk.attack_method == "PGD":
             pcfg = PGDConfig(atk.epsilon, atk.num_steps, atk.step_size,
-                             random_init=("uniform" if atk.random else "none"))
+                             random_init=("uniform" if atk.random else "none"),
+                             unroll=max(1, min(atk.num_steps, 10)))
             loss_fn = eval_loss(state.params, state.batch_stats, y)
             x_adv, _ = pgd_linf(loss_fn, x, key_atk, pcfg)
             # extra restarts: keep the first run's output, then swap in any
