@@ -219,9 +219,13 @@ def square_attack(forward_fn: ForwardFn, x: jnp.ndarray, y: jnp.ndarray,
 def run_autoattack(forward_fn: ForwardFn, x: jnp.ndarray, y: jnp.ndarray,
                    key: jax.Array, *, epsilon: float, num_classes: int,
                    apgd_steps: int = 100, square_queries: int = 1000,
-                   n_target_classes: int = 3) -> jnp.ndarray:
+                   n_target_classes: int = 3,
+                   attacks_to_run=("apgd-ce", "apgd-t", "square")) -> jnp.ndarray:
     """APGD-CE -> APGD-T -> Square, accumulating successful adversarials.
-    Returns x_adv; robust accuracy = acc(forward(x_adv), y)."""
+    Returns x_adv; robust accuracy = acc(forward(x_adv), y).
+
+    `attacks_to_run` selects a subset — the reference's AutoAttack
+    'individual'/'custom' versions (utils/aa.py:119-153)."""
     def pred(xa, k):
         return jnp.argmax(forward_fn(xa, k), axis=-1)
 
@@ -235,25 +239,27 @@ def run_autoattack(forward_fn: ForwardFn, x: jnp.ndarray, y: jnp.ndarray,
         x_adv = jnp.where(newly_broken[expand], cand, x_adv)
         return x_adv, still_ok & ~newly_broken
 
-    # APGD-CE
-    key, k1, k2 = jax.random.split(key, 3)
-    cand = apgd(forward_fn, x, y, k1,
-                APGDConfig(epsilon, apgd_steps, num_classes))
-    x_adv, still_ok = merge(x_adv, cand, still_ok, k2)
-
-    # APGD-T over the top-k wrong classes
-    for t in range(2, 2 + n_target_classes):
-        key, k0, k1, k2 = jax.random.split(key, 4)
-        logits = forward_fn(x, k0)
-        y_target = jnp.argsort(logits, axis=-1)[:, -t]
+    if "apgd-ce" in attacks_to_run:
+        key, k1, k2 = jax.random.split(key, 3)
         cand = apgd(forward_fn, x, y, k1,
-                    APGDConfig(epsilon, apgd_steps, num_classes),
-                    y_target=y_target)
+                    APGDConfig(epsilon, apgd_steps, num_classes))
         x_adv, still_ok = merge(x_adv, cand, still_ok, k2)
 
-    # Square
-    key, k1, k2 = jax.random.split(key, 3)
-    cand = square_attack(forward_fn, x, y, k1,
-                         SquareConfig(epsilon, square_queries, num_classes=num_classes))
-    x_adv, still_ok = merge(x_adv, cand, still_ok, k2)
+    if "apgd-t" in attacks_to_run:
+        # APGD-T over the top-k wrong classes
+        for t in range(2, 2 + n_target_classes):
+            key, k0, k1, k2 = jax.random.split(key, 4)
+            logits = forward_fn(x, k0)
+            y_target = jnp.argsort(logits, axis=-1)[:, -t]
+            cand = apgd(forward_fn, x, y, k1,
+                        APGDConfig(epsilon, apgd_steps, num_classes),
+                        y_target=y_target)
+            x_adv, still_ok = merge(x_adv, cand, still_ok, k2)
+
+    if "square" in attacks_to_run:
+        key, k1, k2 = jax.random.split(key, 3)
+        cand = square_attack(forward_fn, x, y, k1,
+                             SquareConfig(epsilon, square_queries,
+                                          num_classes=num_classes))
+        x_adv, still_ok = merge(x_adv, cand, still_ok, k2)
     return x_adv

@@ -38,6 +38,8 @@ def main():
                         help="comma list: pgd,fgsm,cw,aa")
     parser.add_argument("--aa-batches", type=int, default=None,
                         help="cap AA to first N batches")
+    parser.add_argument("--aa-attacks", default="apgd-ce,apgd-t,square",
+                        help="AA subset (reference 'individual' mode)")
     args = parser.parse_args()
     cfg = load_config(args.config, vars(args))
     apply_platform(cfg)
@@ -106,10 +108,13 @@ def main():
                 break
             key, k1, k2 = jax.random.split(key, 3)
             xj, yj = jnp.asarray(x), jnp.asarray(y)
-            x_adv = run_autoattack(fwd, xj, yj, k1, epsilon=eps,
-                                   num_classes=spec.num_classes,
-                                   apgd_steps=int(cfg.get("aa_apgd_steps", 100)),
-                                   square_queries=int(cfg.get("aa_square_queries", 1000)))
+            x_adv = run_autoattack(
+                fwd, xj, yj, k1, epsilon=eps, num_classes=spec.num_classes,
+                apgd_steps=int(cfg.get("aa_apgd_steps", 100)),
+                square_queries=int(cfg.get("aa_square_queries", 1000)),
+                attacks_to_run=tuple(
+                    a.strip() for a in
+                    str(cfg.get("aa_attacks", "apgd-ce,apgd-t,square")).split(",")))
             clean = topk_accuracy(fwd(xj, k2), yj)
             adv = topk_accuracy(fwd(x_adv, k2), yj)
             c1.update(float(clean["top1"]), len(y))
