@@ -84,6 +84,16 @@ def canonical_method(name: str) -> str:
     return "at"
 
 
+def tar_init_policy(kind: str, random: bool) -> str:
+    """Random-init selection for the targeted-AT family. The 'trick'
+    Bernoulli-gated init only fires when args.random is set (reference
+    targeted_PGD_trick, utils/attacks.py:68-73); plain targeted_PGD likewise
+    gates its uniform init on args.random (utils/attacks.py:42-44)."""
+    if not random:
+        return "none"
+    return "trick" if kind == "tar_at_trick" else "uniform"
+
+
 def _avmixup_label_smoothing(one_hot: jnp.ndarray, factor: float, nclass: int) -> jnp.ndarray:
     """one_hot*f + (one_hot-1)*((f-1)/(nclass-1)) (utils/attacks.py:444-445)."""
     return one_hot * factor + (one_hot - 1.0) * ((factor - 1.0) / float(nclass - 1))
@@ -157,8 +167,7 @@ class Objective:
         else:
             attack_labels = random_targets(key_tgt, y, cfg.num_classes)
             ascend = False
-            init = ("trick" if kind == "tar_at_trick" else
-                    ("uniform" if cfg.random else "none"))
+            init = tar_init_policy(kind, cfg.random)
         pcfg = PGDConfig(epsilon=cfg.epsilon, num_steps=cfg.num_steps,
                          step_size=cfg.step_size, random_init=init,
                          prob_start_from_clean=cfg.prob_start_from_clean,

@@ -23,8 +23,9 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..attacks.cw import CWConfig, cw_linf
-from ..attacks.pgd import PGDConfig, fgsm, pgd_linf
+from ..attacks.pgd import PGDConfig, fgsm, pgd_linf, random_targets
 from ..objectives.methods import MethodConfig, Objective
+from ..ops.square import add_square
 from ..parallel import mesh as meshlib
 from .modelops import ModelOps, cross_entropy, topk_accuracy
 from .sgd import init_momentum, sgd_update
@@ -96,6 +97,14 @@ class EvalAttackConfig:
     cw_iters: int = 20
     restarts: int = 1              # multi-restart PGD (fast-AT validate_pgd,
                                    # fgsm_imagenet/lib/validation.py:31-57)
+    # 'tar*' methods validate with TARGETED attacks on random wrong labels
+    # (experiments_tinyimagenet.py:355-371); accuracy is still vs true labels.
+    targeted: bool = False
+    # pre_square methods apply Add_Square to the validation inputs before the
+    # clean forward AND the attack (experiments_tinyimagenet.py:341-352).
+    pre_square: bool = False
+    square_epsilon: float = 0.05
+    square_n_queries: int = 1
 
 
 def build_eval_step(ops: ModelOps, atk: EvalAttackConfig, mesh=None) -> Callable:
@@ -109,17 +118,24 @@ def build_eval_step(ops: ModelOps, atk: EvalAttackConfig, mesh=None) -> Callable
         return loss_fn
 
     def eval_fn(state: TrainState, x, y, key):
-        key_clean, key_atk, key_adv = jax.random.split(key, 3)
+        key_clean, key_atk, key_adv, key_tgt, key_sq = jax.random.split(key, 5)
+        if atk.pre_square:
+            x = add_square(x, key_sq, epsilon=atk.square_epsilon,
+                           n_queries=atk.square_n_queries)
         clean_logits = ops.logits_eval(state.params, state.batch_stats, x, key_clean)
         metrics = {"clean_loss": cross_entropy(clean_logits, y),
                    **{f"clean_{k}": v for k, v in topk_accuracy(clean_logits, y).items()}}
         if atk.attack_method == "none":
             return metrics
+        # targeted battery: attack drives toward random wrong labels
+        # (reference validate(), experiments_tinyimagenet.py:355-371)
+        tgt = random_targets(key_tgt, y, atk.num_classes) if atk.targeted else y
         if atk.attack_method == "PGD":
             pcfg = PGDConfig(atk.epsilon, atk.num_steps, atk.step_size,
                              random_init=("uniform" if atk.random else "none"),
+                             ascend=not atk.targeted,
                              unroll=max(1, min(atk.num_steps, 10)))
-            loss_fn = eval_loss(state.params, state.batch_stats, y)
+            loss_fn = eval_loss(state.params, state.batch_stats, tgt)
             x_adv, _ = pgd_linf(loss_fn, x, key_atk, pcfg)
             # extra restarts: keep the first run's output, then swap in any
             # restart that flips a still-correct prediction (validation.py:50-57).
@@ -134,13 +150,15 @@ def build_eval_step(ops: ModelOps, atk: EvalAttackConfig, mesh=None) -> Callable
                 sel = broke[(slice(None),) + (None,) * (x.ndim - 1)]
                 x_adv = jnp.where(sel, cand, x_adv)
         elif atk.attack_method == "FGSM":
-            x_adv, _ = fgsm(eval_loss(state.params, state.batch_stats, y),
-                            x, key_atk, step_size=atk.step_size)
+            x_adv, _ = fgsm(eval_loss(state.params, state.batch_stats, tgt),
+                            x, key_atk, step_size=atk.step_size,
+                            targeted=atk.targeted)
         elif atk.attack_method == "CW":
             fwd = lambda xx, kk: ops.logits_eval(state.params, state.batch_stats, xx, kk)
             ccfg = CWConfig(magnitude=atk.epsilon, max_eps=atk.epsilon,
                             max_iters=atk.cw_iters, num_classes=atk.num_classes)
-            x_adv, _ = cw_linf(fwd, x, y, key_atk, ccfg)
+            x_adv, _ = cw_linf(fwd, x, y, key_atk, ccfg,
+                               target=(tgt if atk.targeted else None))
         else:
             raise NotImplementedError(atk.attack_method)
         adv_logits = ops.logits_eval(state.params, state.batch_stats, x_adv, key_adv)

@@ -130,6 +130,53 @@ class TestEvalBattery:
             assert np.isfinite(float(v)), (k, v)
 
 
+class TestEvalProtocol:
+    """Reference validate() protocol quirks: targeted batteries for tar*
+    methods (experiments_tinyimagenet.py:355-371), Add_Square on validation
+    inputs for pre_square methods (:341-352), and the trick-init random gate
+    (utils/attacks.py:68-73)."""
+
+    @pytest.mark.parametrize("attack", ["PGD", "FGSM", "CW"])
+    def test_targeted_battery_runs(self, mnist_state, attack):
+        ops, state = mnist_state
+        x, y = make_batch()
+        ev = build_eval_step(ops, EvalAttackConfig(
+            attack, epsilon=0.3, num_steps=3, step_size=0.1, targeted=True))
+        m = ev(state, x, y, jax.random.PRNGKey(20))
+        for k, v in m.items():
+            assert np.isfinite(float(v)), (k, v)
+
+    def test_targeted_pgd_differs_from_untargeted(self, mnist_state):
+        # descent toward a random wrong class vs ascent on the true class
+        # must produce different adversarial losses for the same key
+        ops, state = mnist_state
+        x, y = make_batch(bs=16)
+        kwargs = dict(epsilon=0.3, num_steps=3, step_size=0.1)
+        m_u = build_eval_step(ops, EvalAttackConfig("PGD", **kwargs))(
+            state, x, y, jax.random.PRNGKey(21))
+        m_t = build_eval_step(ops, EvalAttackConfig("PGD", targeted=True,
+                                                    **kwargs))(
+            state, x, y, jax.random.PRNGKey(21))
+        assert float(m_u["adv_loss"]) != float(m_t["adv_loss"])
+
+    def test_pre_square_changes_validation_inputs(self, mnist_state):
+        ops, state = mnist_state
+        x, y = make_batch(bs=16)
+        m0 = build_eval_step(ops, EvalAttackConfig("none"))(
+            state, x, y, jax.random.PRNGKey(22))
+        m1 = build_eval_step(ops, EvalAttackConfig(
+            "none", pre_square=True, square_epsilon=0.3))(
+            state, x, y, jax.random.PRNGKey(22))
+        assert float(m0["clean_loss"]) != float(m1["clean_loss"])
+
+    def test_trick_init_gated_on_random(self):
+        from edge_enhancement_tpu.objectives.methods import tar_init_policy
+        assert tar_init_policy("tar_at_trick", True) == "trick"
+        assert tar_init_policy("tar_at_trick", False) == "none"
+        assert tar_init_policy("tar_at", True) == "uniform"
+        assert tar_init_policy("tar_at", False) == "none"
+
+
 class TestDataParallel:
     def test_step_on_8_device_mesh(self, mnist_state):
         ops, _ = mnist_state

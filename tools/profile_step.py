@@ -30,17 +30,24 @@ def capture(out_dir: str):
                                                     build_train_step,
                                                     create_train_state)
 
-    spec = SPECS["tiny_imagenet"]
-    args = dict(r=8, w=1.0, gf=False, low=38.0, high=76.0, alpha=0.0,
-                sigma=1.0, type_canny="CannyFilter_step125_1",
-                epsilon=0.0627, n_queries=1, cize=64)
-    ops = ModelOps(build_model("resnet18_EE_square", args, 200))
+    batch = int(os.environ.get("EE_PROF_BATCH", 100))
+    arch = os.environ.get("EE_PROF_ARCH", "resnet18_EE_square")
+    cize = int(os.environ.get("EE_PROF_CIZE", 64))
+    spec = SPECS["imagenet" if cize > 64 else "tiny_imagenet"]
+    args = dict(r=8 if cize <= 64 else 16, w=1.0, gf=False, low=38.0,
+                high=76.0, alpha=0.0, sigma=1.0,
+                type_canny="CannyFilter_step125_1",
+                epsilon=0.0627, n_queries=1, cize=cize)
+    if os.environ.get("EE_PROF_DTYPE"):
+        args["dtype"] = os.environ["EE_PROF_DTYPE"]
+    ops = ModelOps(build_model(arch, args, spec.num_classes))
     mesh = meshlib.make_mesh()
-    ds = synthetic_dataset(spec, 200, seed=0)
-    x, y = next(ds.batches(100, shuffle=False, seed=0))
+    ds = synthetic_dataset(spec, batch, seed=0)
+    x, y = next(ds.batches(batch, shuffle=False, seed=0))
     state = create_train_state(ops, jax.random.PRNGKey(0), jnp.asarray(x[:1]))
     mcfg = MethodConfig(method_name="EE_BPDA3_AT_square", epsilon=0.0627,
-                        num_steps=10, step_size=0.0078, num_classes=200)
+                        num_steps=10, step_size=0.0078,
+                        num_classes=spec.num_classes)
     step = build_train_step(ops, mcfg, OptimConfig(0.9, 2e-4), mesh=mesh)
     st = meshlib.replicate(mesh, state)
     xb, yb = meshlib.shard_batch(mesh, (x, y))

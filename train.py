@@ -245,12 +245,21 @@ def main():
     else:
         train_step = build_train_step(ops, mcfg, opt, mesh=mesh, donate=True)
 
+    # tar* methods validate with targeted attacks; pre_square methods square
+    # the validation inputs (reference validate(),
+    # experiments_tinyimagenet.py:341-371).
+    eval_proto = dict(
+        targeted="tar" in cfg["method_name"],
+        pre_square="pre_square" in cfg["method_name"],
+        square_epsilon=float(cfg.get("epsilon", 0.05)),
+        square_n_queries=int(cfg.get("n_queries", 1)))
     eval_atk = EvalAttackConfig(
         attack_method=str(cfg.get("attack_method", "PGD")),
         epsilon=float(cfg.get("epsilon", 8 / 255)),
         num_steps=int(cfg.get("num_steps_1", 10)),
         step_size=float(cfg.get("step_size_1", 2 / 255)),
-        random=bool(cfg.get("random", True)), num_classes=num_classes)
+        random=bool(cfg.get("random", True)), num_classes=num_classes,
+        **eval_proto)
     eval_step = build_eval_step(ops, eval_atk, mesh=mesh)
 
     if cfg.get("evaluate"):
@@ -260,8 +269,9 @@ def main():
                 continue
             log(f"=> evaluate num_steps:{ns}, step_size:{ss}")
             es = build_eval_step(ops, EvalAttackConfig(
-                "PGD", float(cfg["epsilon"]), int(ns), float(ss),
-                bool(cfg.get("random", True)), num_classes), mesh=mesh)
+                str(cfg.get("attack_method", "PGD")), float(cfg["epsilon"]),
+                int(ns), float(ss), bool(cfg.get("random", True)),
+                num_classes, **eval_proto), mesh=mesh)
             run_validation(log, es, mesh, state, val_ds, cfg,
                            num_steps=int(ns), step_size=float(ss),
                            limit=cfg.get("limit_batches"))
@@ -291,8 +301,12 @@ def main():
             if awp_warmup is None:
                 state, metrics = train_step(state, xb, yb, k, jnp.float32(lr))
             else:
+                # AWP drivers step the LR every minibatch at the fractional
+                # epoch (experiments_cifar100_awp.py: adjust_learning_rate_1(
+                # optimizer, epoch + (i+1)/len(train_loader), ...))
+                lr_b = epoch_lr(cfg, epoch + (i + 1) / max(n_batches, 1))
                 awp_on = jnp.float32(1.0 if epoch >= awp_warmup else 0.0)
-                state, metrics = train_step(state, xb, yb, k, jnp.float32(lr),
+                state, metrics = train_step(state, xb, yb, k, jnp.float32(lr_b),
                                             awp_on)
             if cfg.get("profile") and epoch == start_epoch and i == 3:
                 jax.device_get(metrics)  # true sync before stopping the trace
