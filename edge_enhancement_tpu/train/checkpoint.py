@@ -3,7 +3,10 @@
 Replaces the reference's torch.save dicts {epoch, arch, state_dict,
 best_prec1, optimizer} (utils/helper.py:58-61) with an Orbax pytree
 checkpoint carrying the same information; `best/` mirrors the reference's
-best-model copy.
+best-model copy. Free-AT runs additionally persist the cross-batch noise
+buffer (the reference's `global_noise_data`,
+AT_hfs_canny_free_imagenet_ddp.py:286) via the `extra` payload so resume
+continues the in-run trajectory.
 """
 
 from __future__ import annotations
@@ -21,12 +24,15 @@ def _to_host(tree: Any) -> Any:
 
 
 def save_checkpoint(ckpt_dir: str, state: Any, epoch: int, arch: str,
-                    best_prec1: float, is_best: bool) -> None:
+                    best_prec1: float, is_best: bool,
+                    extra: Optional[dict] = None) -> None:
     ckpt_dir = os.path.abspath(ckpt_dir)
     os.makedirs(ckpt_dir, exist_ok=True)
     payload = {"state": _to_host(state),
                "meta": {"epoch": epoch, "arch": arch,
                         "best_prec1": float(best_prec1)}}
+    if extra:
+        payload["extra"] = _to_host(extra)
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(os.path.join(ckpt_dir, "last"), payload, force=True)
         if is_best:
@@ -41,21 +47,44 @@ def load_checkpoint(ckpt_dir: str, which: str = "last") -> Optional[dict]:
         return ckptr.restore(path)
 
 
-def restore_into_state(state: Any, payload: dict) -> tuple[Any, int, float]:
-    """Rebuild a TrainState from a checkpoint payload.
+def _fetch_by_path(saved: Any, path) -> Any:
+    """Walk a restored (nested dict/list) checkpoint node by a jax key path."""
+    node = saved
+    for p in path:
+        if isinstance(p, jax.tree_util.DictKey):
+            node = node[p.key]
+        elif isinstance(p, jax.tree_util.SequenceKey):
+            node = node[p.idx]
+        elif isinstance(p, jax.tree_util.GetAttrKey):
+            node = node[p.name]
+        else:
+            raise KeyError(f"unsupported key path element {p!r}")
+    return node
 
-    Orbax restores nested DICTS (alphabetical leaf order), while the
-    TrainState dataclass flattens in field order — rebuild field-by-field
-    so the collections land in the right slots."""
+
+def restore_tree(target: Any, saved: Any) -> Any:
+    """Path-keyed restoration: every leaf of `target` is looked up by its
+    own key path in the restored checkpoint dict — no dependence on
+    flattened leaf ordering. Shapes are checked leaf-by-leaf."""
+    def pick(path, leaf):
+        val = np.asarray(_fetch_by_path(saved, path))
+        if hasattr(leaf, "shape") and tuple(val.shape) != tuple(leaf.shape):
+            name = jax.tree_util.keystr(path)
+            raise ValueError(f"checkpoint leaf {name} has shape {val.shape}, "
+                             f"expected {leaf.shape}")
+        return val
+    return jax.tree_util.tree_map_with_path(pick, target)
+
+
+def restore_into_state(state: Any, payload: dict) -> tuple[Any, int, float]:
+    """Rebuild a TrainState from a checkpoint payload, keyed by tree paths
+    (robust to any container/field ordering differences between the live
+    dataclass and orbax's restored nested dicts)."""
     saved = payload["state"]
     restored = state.replace(
-        params=jax.tree.unflatten(jax.tree.structure(state.params),
-                                  jax.tree.leaves(saved["params"])),
-        batch_stats=jax.tree.unflatten(jax.tree.structure(state.batch_stats),
-                                       jax.tree.leaves(saved["batch_stats"])),
-        momentum_buf=jax.tree.unflatten(jax.tree.structure(state.momentum_buf),
-                                        jax.tree.leaves(saved["momentum_buf"])),
-        step=jax.tree.leaves(saved["step"])[0] if jax.tree.leaves(saved["step"])
-        else state.step)
+        params=restore_tree(state.params, saved["params"]),
+        batch_stats=restore_tree(state.batch_stats, saved["batch_stats"]),
+        momentum_buf=restore_tree(state.momentum_buf, saved["momentum_buf"]),
+        step=np.asarray(saved["step"]) if "step" in saved else state.step)
     meta = payload["meta"]
     return restored, int(meta["epoch"]), float(meta["best_prec1"])

@@ -79,16 +79,22 @@ def run_validation(log, eval_step, mesh, state, ds, cfg, *, num_steps, step_size
                    limit=None):
     clean1, clean5, adv1, adv5 = (AverageMeter() for _ in range(4))
     key = jax.random.PRNGKey(int(cfg.get("seed", 1)) + 777)
-    for i, (x, y) in enumerate(ds.batches(int(cfg["batch_size"]), shuffle=False,
-                                          seed=0)):
+    # each process loads its disjoint share of the global eval batch
+    # (reference DistributedSampler on the val set, experiments_imagenet.py:158)
+    local_bs = int(cfg["batch_size"]) // jax.process_count()
+    for i, (x, y) in enumerate(ds.batches(local_bs, shuffle=False, seed=0,
+                                          process_index=jax.process_index(),
+                                          process_count=jax.process_count())):
         if limit is not None and i >= limit:
             break
         key, k = jax.random.split(key)
         xb, yb = meshlib.shard_batch(mesh, (x, y))
         m = jax.device_get(eval_step(state, xb, yb, k))
-        clean1.update(m["clean_top1"], len(y)); clean5.update(m["clean_top5"], len(y))
+        # metrics are computed over the GLOBAL sharded batch; weight by it
+        n_glob = len(y) * jax.process_count()
+        clean1.update(m["clean_top1"], n_glob); clean5.update(m["clean_top5"], n_glob)
         if "adv_top1" in m:
-            adv1.update(m["adv_top1"], len(y)); adv5.update(m["adv_top5"], len(y))
+            adv1.update(m["adv_top1"], n_glob); adv5.update(m["adv_top5"], n_glob)
     log(clean_summary(clean1, clean5))
     if adv1.count:
         log(adv_summary(adv1, adv5))
@@ -116,15 +122,26 @@ def run_free_fast(cfg, ops, mesh, state, train_ds, val_ds, log, out_dir,
     builder = build_fast_train_step if fast else build_free_train_step
     step = builder(ops, ffcfg, opt, mesh=mesh)
 
-    batch_size = int(cfg["batch_size"])
+    # the config batch size is GLOBAL; each process loads/owns its share
+    # (reference free-AT DDP batch_size/nGPU, AT_free_imagenet_ddp.py:154-161)
+    batch_size = int(cfg["batch_size"]) // jax.process_count()
     cize = int(cfg.get("cize", cfg.get("crop_size", 224)))
     channels = 1 if cfg["dataset"] == "mnist" else 3
-    noise = meshlib.shard_batch(mesh, init_noise(batch_size, cize, channels))
+    # persistent noise shards with the batch; resume restores it (the
+    # reference keeps global_noise_data alive across batches/epochs)
+    noise_host = init_noise(batch_size, cize, channels)
+    if cfg.get("resume"):
+        payload = ckpt.load_checkpoint(cfg["resume"])
+        if payload is not None and "extra" in payload and "noise" in payload["extra"]:
+            saved_noise = np.asarray(payload["extra"]["noise"])
+            if saved_noise.shape == noise_host.shape:
+                noise_host = saved_noise
+    noise = meshlib.shard_batch(mesh, noise_host)
     start_epoch = int(cfg.get("start_epoch", 0))
     epochs = int(math.ceil(int(cfg["epochs"]) / n_repeats)) if not fast \
         else int(cfg["epochs"])
     limit = cfg.get("limit_batches")
-    n_batches = max(len(train_ds) // batch_size, 1)
+    n_batches = max(len(train_ds) // (batch_size * jax.process_count()), 1)
     key = jax.random.PRNGKey(int(cfg.get("seed", 1)))
     best_prec1 = 0.0
 
@@ -137,9 +154,10 @@ def run_free_fast(cfg, ops, mesh, state, train_ds, val_ds, log, out_dir,
     for epoch in range(start_epoch if fast else 0, epochs):
         bt, dt, losses, top1, top5 = (AverageMeter() for _ in range(5))
         end = time.time()
-        for i, (x, y) in enumerate(train_ds.batches(batch_size, shuffle=True,
-                                                    seed=int(cfg.get("seed", 1)),
-                                                    epoch=epoch)):
+        for i, (x, y) in enumerate(train_ds.batches(
+                batch_size, shuffle=True, seed=int(cfg.get("seed", 1)),
+                epoch=epoch, process_index=jax.process_index(),
+                process_count=jax.process_count())):
             if limit is not None and i >= limit:
                 break
             dt.update(time.time() - end)
@@ -170,9 +188,13 @@ def run_free_fast(cfg, ops, mesh, state, train_ds, val_ds, log, out_dir,
                                   limit=limit)
         is_best = prec1 > best_prec1
         best_prec1 = max(prec1, best_prec1)
+        # persist the replay-noise buffer so resume continues the in-run
+        # trajectory (single-process; multihost shards would need per-host files)
+        extra = ({"noise": np.asarray(jax.device_get(noise))}
+                 if jax.process_count() == 1 else None)
         ckpt.save_checkpoint(os.path.join(out_dir, "ckpt"),
                              jax.device_get(state), epoch + 1, cfg["arch"],
-                             best_prec1, is_best)
+                             best_prec1, is_best, extra=extra)
     log(f"=> done. best robust-eval Prec@1 {best_prec1:.3f}")
 
 
