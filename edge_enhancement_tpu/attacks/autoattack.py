@@ -1,22 +1,32 @@
-"""AutoAttack-lite: APGD-CE, APGD-T (targeted DLR), and the Square attack.
+"""AutoAttack: APGD-CE, APGD-T (targeted DLR), FAB-T, and the Square attack.
 
 The reference evaluates with the external `autoattack` package's 'standard'
-suite (Tiny_ImageNet/experiments_tinyimagenet.py:435-456, utils/aa.py). This
-module provides a TPU-native evaluation harness with the suite's two
-strongest white-box members (APGD on CE / targeted DLR losses, following the
-published algorithm of Croce & Hein 2020) and its black-box member (Square
-attack, Andriushchenko et al. 2020), all as jit-compatible static loops with
-per-sample masking instead of dynamic-shape filtering.
+suite = APGD-CE + APGD-T + FAB-T + Square
+(Tiny_ImageNet/experiments_tinyimagenet.py:435-456, utils/aa.py:42,129-132).
+This module provides the full four-member TPU-native equivalent, each attack
+implemented from its paper as a static-shape `lax.fori_loop` (per-sample
+masking instead of dynamic-shape filtering) so one XLA compile covers any
+number of evaluation batches:
 
-`run_autoattack` composes them the way AutoAttack does: each attack runs on
-the samples still classified correctly, and the union of successful
-adversarials is accumulated.
+* APGD (Croce & Hein 2020, "Reliable evaluation ..."): momentum PGD with the
+  published checkpoint schedule and per-sample step halving.
+* FAB-T (Croce & Hein 2020, "Minimally distorted adversarial examples with a
+  fast adaptive boundary attack"): iterative linearization of the decision
+  boundary toward a target class; the L-inf projection onto the
+  hyperplane-box intersection is solved by per-sample bisection over the radius
+  (monotone feasibility), which is exactly vectorizable — no sorting network.
+* Square (Andriushchenko et al. 2020): random-search with the published
+  size schedule, per-sample squares.
+
+`build_autoattack` compiles the suite once for a given forward_fn/shape;
+`run_autoattack` is the one-shot convenience wrapper.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import math
+from functools import partial
 from typing import Callable, Optional
 
 import jax
@@ -66,10 +76,26 @@ def _dlr_targeted(logits, y, y_target):
 def apgd(forward_fn: ForwardFn, x: jnp.ndarray, y: jnp.ndarray,
          key: jax.Array, cfg: APGDConfig,
          y_target: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """APGD maximising CE (untargeted) or targeted DLR. Returns x_adv."""
+    """APGD maximising CE (untargeted) or targeted DLR. Returns x_adv.
+
+    The published checkpoint schedule is static, so the step loop is a
+    `lax.fori_loop` over precomputed is-checkpoint / interval tables — one
+    compiled body regardless of num_steps."""
     eps = cfg.epsilon
-    checkpoints = set(_apgd_checkpoints(cfg.num_steps))
     expand = (slice(None),) + (None,) * (x.ndim - 1)
+
+    # static per-step tables: is step+1 a checkpoint, and the interval length
+    ckpts = [c for c in _apgd_checkpoints(cfg.num_steps) if c > 1]
+    is_ckpt = [False] * (cfg.num_steps + 1)
+    interval = [0] * (cfg.num_steps + 1)
+    last = 1
+    for c in ckpts:
+        if c <= cfg.num_steps:
+            is_ckpt[c] = True
+            interval[c] = c - last
+            last = c
+    is_ckpt_t = jnp.asarray(is_ckpt)
+    interval_t = jnp.asarray(interval, jnp.float32)
 
     def loss_fn(xa, k):
         logits = forward_fn(xa, k)
@@ -81,15 +107,14 @@ def apgd(forward_fn: ForwardFn, x: jnp.ndarray, y: jnp.ndarray,
 
     grad_fn = jax.grad(lambda xa, k: loss_fn(xa, k)[0])
 
-    key, k0, k1 = jax.random.split(key, 3)
+    key, k0, k1, k2 = jax.random.split(key, 4)
     t = jax.random.uniform(k0, x.shape, minval=-1.0, maxval=1.0)
     x0 = jnp.clip(x + eps * t, 0.0, 1.0)
     _, f0 = loss_fn(x0, k1)
 
     # first step
     alpha = jnp.full((x.shape[0],), 2.0 * eps)
-    key, k = jax.random.split(key)
-    g = grad_fn(x0, k)
+    g = grad_fn(x0, k2)
     x1 = jnp.clip(jnp.clip(x0 + alpha[expand] * jnp.sign(g),
                            x - eps, x + eps), 0.0, 1.0)
     key, k = jax.random.split(key)
@@ -99,47 +124,171 @@ def apgd(forward_fn: ForwardFn, x: jnp.ndarray, y: jnp.ndarray,
     x_best = jnp.where(improved[expand], x1, x0)
     f_best = jnp.maximum(f0, f1)
 
-    # loop state
-    state = dict(x_prev=x0, x_cur=x1, x_best=x_best, f_best=f_best,
-                 alpha=alpha, n_improved=improved.astype(jnp.int32),
-                 f_best_last=f_best, alpha_last=alpha, key=key)
-    last_ckpt = 1
+    step_keys = jax.random.split(key, 2 * max(cfg.num_steps, 1)
+                                 ).reshape(cfg.num_steps if cfg.num_steps
+                                           else 1, 2, -1)
 
-    for step in range(1, cfg.num_steps):
-        key, k_g, k_f = jax.random.split(state["key"], 3)
-        g = grad_fn(state["x_cur"], k_g)
-        a = state["alpha"][expand]
-        z = jnp.clip(jnp.clip(state["x_cur"] + a * jnp.sign(g),
+    def body(step, st):
+        (x_prev, x_cur, x_best, f_best, alpha, n_improved, f_best_last,
+         alpha_last) = st
+        k_g, k_f = step_keys[step, 0], step_keys[step, 1]
+        g = grad_fn(x_cur, k_g)
+        a = alpha[expand]
+        z = jnp.clip(jnp.clip(x_cur + a * jnp.sign(g),
                               x - eps, x + eps), 0.0, 1.0)
-        xn = (state["x_cur"] + cfg.momentum * (z - state["x_cur"])
-              + (1 - cfg.momentum) * (state["x_cur"] - state["x_prev"]))
+        xn = (x_cur + cfg.momentum * (z - x_cur)
+              + (1 - cfg.momentum) * (x_cur - x_prev))
         xn = jnp.clip(jnp.clip(xn, x - eps, x + eps), 0.0, 1.0)
         _, f = loss_fn(xn, k_f)
 
-        improved = f > state["f_best"]
-        state["n_improved"] = state["n_improved"] + improved.astype(jnp.int32)
-        state["x_best"] = jnp.where(improved[expand], xn, state["x_best"])
-        state["f_best"] = jnp.maximum(f, state["f_best"])
-        state["x_prev"], state["x_cur"], state["key"] = state["x_cur"], xn, key
+        improved = f > f_best
+        n_improved = n_improved + improved.astype(jnp.int32)
+        x_best = jnp.where(improved[expand], xn, x_best)
+        f_best = jnp.maximum(f, f_best)
+        x_prev, x_cur = x_cur, xn
 
-        if (step + 1) in checkpoints:
-            interval = (step + 1) - last_ckpt
-            # condition 1: too few improving steps in the interval
-            cond1 = state["n_improved"] < cfg.rho * interval
-            # condition 2: step size unchanged AND best loss unchanged
-            cond2 = ((state["alpha_last"] == state["alpha"])
-                     & (state["f_best_last"] >= state["f_best"]))
+        def at_ckpt(args):
+            (x_prev, x_cur, alpha, n_improved, f_best_last, alpha_last) = args
+            cond1 = n_improved.astype(jnp.float32) < cfg.rho * interval_t[step + 1]
+            cond2 = (alpha_last == alpha) & (f_best_last >= f_best)
             halve = cond1 | cond2
-            state["alpha"] = jnp.where(halve, state["alpha"] / 2.0, state["alpha"])
-            # restart from the best point where halved
-            state["x_cur"] = jnp.where(halve[expand], state["x_best"], state["x_cur"])
-            state["x_prev"] = jnp.where(halve[expand], state["x_best"], state["x_prev"])
-            state["n_improved"] = jnp.zeros_like(state["n_improved"])
-            state["f_best_last"] = state["f_best"]
-            state["alpha_last"] = state["alpha"]
-            last_ckpt = step + 1
+            alpha = jnp.where(halve, alpha / 2.0, alpha)
+            x_cur = jnp.where(halve[expand], x_best, x_cur)
+            x_prev = jnp.where(halve[expand], x_best, x_prev)
+            return (x_prev, x_cur, alpha, jnp.zeros_like(n_improved),
+                    f_best, alpha)
 
-    return state["x_best"]
+        (x_prev, x_cur, alpha, n_improved, f_best_last, alpha_last) = \
+            jax.lax.cond(is_ckpt_t[step + 1], at_ckpt, lambda a: a,
+                         (x_prev, x_cur, alpha, n_improved, f_best_last,
+                          alpha_last))
+        return (x_prev, x_cur, x_best, f_best, alpha, n_improved,
+                f_best_last, alpha_last)
+
+    st = (x0, x1, x_best, f_best, alpha, improved.astype(jnp.int32),
+          f_best, alpha)
+    st = jax.lax.fori_loop(1, cfg.num_steps, body, st)
+    return st[2]
+
+
+# --------------------------------------------------------------------------
+# FAB-T
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class FABConfig:
+    epsilon: float
+    num_steps: int = 100
+    alpha_max: float = 0.1
+    eta: float = 1.05          # overshoot
+    beta: float = 0.9          # backward step
+    proj_iters: int = 40       # bisection iterations for the L-inf projection
+
+
+def _proj_linf_box(p: jnp.ndarray, w: jnp.ndarray, c: jnp.ndarray,
+                   iters: int) -> jnp.ndarray:
+    """min ||z - p||_inf  s.t.  w.z = c,  0 <= z <= 1  (per sample).
+
+    Monotone bisection over the radius r: within radius r the reachable
+    box is [max(p-r,0), min(p+r,1)]; the extremal value of w.z over it is
+    monotone in r, so the smallest feasible r is found by bisection and the
+    optimizer is the clipped signed step. Returns z (falls back to the
+    box-extremal point if the hyperplane misses the unit box entirely).
+
+    p, w: (B, D); c: (B,). Independent re-derivation of the FAB projection
+    (the official implementation uses a sort-based exact solver; bisection
+    to 2^-iters is equivalent at f32 and maps better to the VPU).
+    """
+    v = jnp.sum(w * p, axis=1) - c                    # >0: need to decrease
+    sgn = jnp.where(v >= 0, 1.0, -1.0)                # normalize direction
+    w_eff = w * sgn[:, None]
+    c_eff = c * sgn                                    # now w_eff.p - c_eff >= 0
+
+    def extremal(r):
+        lo = jnp.maximum(p - r[:, None], 0.0)
+        hi = jnp.minimum(p + r[:, None], 1.0)
+        z = jnp.where(w_eff > 0, lo, hi)              # minimizes w_eff.z
+        return jnp.sum(w_eff * z, axis=1)
+
+    feasible_at_1 = extremal(jnp.ones(p.shape[0])) <= c_eff
+
+    def bisect_body(_, bounds):
+        lo_r, hi_r = bounds
+        mid = 0.5 * (lo_r + hi_r)
+        ok = extremal(mid) <= c_eff                   # mid radius reaches plane
+        return jnp.where(ok, lo_r, mid), jnp.where(ok, mid, hi_r)
+
+    lo_r, hi_r = jax.lax.fori_loop(
+        0, iters, bisect_body,
+        (jnp.zeros(p.shape[0]), jnp.ones(p.shape[0])))
+    r = hi_r
+    lo = jnp.maximum(p - r[:, None], 0.0)
+    hi = jnp.minimum(p + r[:, None], 1.0)
+    z = jnp.where(w_eff > 0, lo, hi)
+    # move each coordinate only as far as needed: scale the step from p
+    # toward z so w.z' = c exactly (linear in the un-clipped interior)
+    num = jnp.sum(w_eff * p, axis=1) - c_eff
+    den = jnp.sum(w_eff * (p - z), axis=1)
+    theta = jnp.clip(num / jnp.where(jnp.abs(den) < 1e-12, 1e-12, den), 0.0, 1.0)
+    z_exact = p + theta[:, None] * (z - p)
+    return jnp.where(feasible_at_1[:, None], z_exact, z)
+
+
+def fab_targeted(forward_fn: ForwardFn, x: jnp.ndarray, y: jnp.ndarray,
+                 y_target: jnp.ndarray, key: jax.Array,
+                 cfg: FABConfig) -> jnp.ndarray:
+    """FAB-T toward y_target. Returns the best adversarial found (x where
+    none was found within epsilon)."""
+    b = x.shape[0]
+    flat = lambda a: a.reshape(b, -1)
+    expand = (slice(None),) + (None,) * (x.ndim - 1)
+
+    def decision(xa, k):
+        logits = forward_fn(xa, k)
+        zy = jnp.take_along_axis(logits, y[:, None], axis=-1)[:, 0]
+        zt = jnp.take_along_axis(logits, y_target[:, None], axis=-1)[:, 0]
+        return jnp.sum(zy - zt), zy - zt              # f < 0: adversarial
+
+    grad_fn = jax.grad(lambda xa, k: decision(xa, k)[0])
+    keys = jax.random.split(key, 2 * max(cfg.num_steps, 1)
+                            ).reshape(max(cfg.num_steps, 1), 2, -1)
+
+    def body(i, st):
+        x_cur, x_best, d_best = st
+        k_f, k_g = keys[i, 0], keys[i, 1]
+        _, f = decision(x_cur, k_f)
+        g = grad_fn(x_cur, k_g)
+        gf = flat(g)
+        # hyperplane f + g.(z - x_cur) = 0  ->  g.z = g.x_cur - f
+        c = jnp.sum(gf * flat(x_cur), axis=1) - f
+        z_cur = _proj_linf_box(flat(x_cur), gf, c, cfg.proj_iters)
+        z_orig = _proj_linf_box(flat(x), gf, c, cfg.proj_iters)
+        d_cur = jnp.max(jnp.abs(z_cur - flat(x_cur)), axis=1)
+        d_orig = jnp.max(jnp.abs(z_orig - flat(x)), axis=1)
+        alpha = jnp.clip(d_cur / (d_cur + d_orig + 1e-12), 0.0, cfg.alpha_max)
+        step_cur = flat(x_cur) + cfg.eta * (z_cur - flat(x_cur))
+        step_orig = flat(x) + cfg.eta * (z_orig - flat(x))
+        xn = ((1.0 - alpha)[:, None] * step_cur + alpha[:, None] * step_orig)
+        xn = jnp.clip(xn.reshape(x.shape), 0.0, 1.0)
+
+        # bookkeeping on the new point, then backward step where adversarial
+        _, f_new = decision(xn, keys[i, 0])
+        adv = f_new < 0
+        dist = jnp.max(jnp.abs(flat(xn) - flat(x)), axis=1)
+        better = adv & (dist < d_best)
+        x_best = jnp.where(better[expand], xn, x_best)
+        d_best = jnp.where(better, dist, d_best)
+        xn = jnp.where(adv[expand],
+                       jnp.clip((1.0 - cfg.beta) * x + cfg.beta * xn, 0.0, 1.0),
+                       xn)
+        return xn, x_best, d_best
+
+    x_best0 = x
+    d_best0 = jnp.full((b,), jnp.inf)
+    x_cur, x_best, d_best = jax.lax.fori_loop(
+        0, cfg.num_steps, body, (x, x_best0, d_best0))
+    ok = d_best <= cfg.epsilon
+    return jnp.where(ok[expand], x_best, x)
 
 
 # --------------------------------------------------------------------------
@@ -176,7 +325,9 @@ def square_attack(forward_fn: ForwardFn, x: jnp.ndarray, y: jnp.ndarray,
                   key: jax.Array, cfg: SquareConfig) -> jnp.ndarray:
     """L-inf Square attack: greedy random square updates accepted when the
     margin loss decreases. Per-sample positions (unlike the Add_Square
-    defense layer, which shares one square per batch)."""
+    defense layer, which shares one square per batch). The published size
+    schedule is static, so the query loop is a fori_loop over a precomputed
+    size table — one compiled body for any n_queries."""
     b, h, w, c = x.shape
     eps = cfg.epsilon
     n_feat = c * h * w
@@ -188,12 +339,17 @@ def square_attack(forward_fn: ForwardFn, x: jnp.ndarray, y: jnp.ndarray,
 
     rows = jnp.arange(h)
     cols = jnp.arange(w)
+    s_table = jnp.asarray(
+        [min(max(int(round(math.sqrt(_square_p(it, cfg.n_queries, cfg.p_init)
+                                     * n_feat / c))), 1), h - 1, w - 1)
+         for it in range(max(cfg.n_queries, 1))], jnp.int32)
+    keys = jax.random.split(key, 4 * max(cfg.n_queries, 1)
+                            ).reshape(max(cfg.n_queries, 1), 4, -1)
 
-    for it in range(cfg.n_queries):
-        p = _square_p(it, cfg.n_queries, cfg.p_init)
-        s = max(int(round(math.sqrt(p * n_feat / c))), 1)
-        s = min(s, h - 1, w - 1)
-        key, kr, kc, ks, kf = jax.random.split(key, 5)
+    def body(it, st):
+        x_best, loss_best = st
+        s = s_table[it]
+        kr, kc, ks, kf = keys[it, 0], keys[it, 1], keys[it, 2], keys[it, 3]
         vh = jax.random.randint(kr, (b,), 0, h - s)
         vw = jax.random.randint(kc, (b,), 0, w - s)
         sgn = jnp.sign(jax.random.uniform(ks, (b, 1, 1, c)) * 2 - 1)
@@ -208,7 +364,9 @@ def square_attack(forward_fn: ForwardFn, x: jnp.ndarray, y: jnp.ndarray,
         accept = loss_cand < loss_best
         x_best = jnp.where(accept[:, None, None, None], cand, x_best)
         loss_best = jnp.minimum(loss_cand, loss_best)
+        return x_best, loss_best
 
+    x_best, _ = jax.lax.fori_loop(0, cfg.n_queries, body, (x_best, loss_best))
     return x_best
 
 
@@ -216,50 +374,83 @@ def square_attack(forward_fn: ForwardFn, x: jnp.ndarray, y: jnp.ndarray,
 # Suite
 # --------------------------------------------------------------------------
 
+STANDARD_ATTACKS = ("apgd-ce", "apgd-t", "fab-t", "square")
+
+
+def build_autoattack(forward_fn: ForwardFn, *, epsilon: float,
+                     num_classes: int, apgd_steps: int = 100,
+                     fab_steps: int = 100, square_queries: int = 1000,
+                     n_target_classes: int = 9,
+                     attacks_to_run=STANDARD_ATTACKS) -> Callable:
+    """Returns a jitted suite fn(x, y, key) -> x_adv. Each attack compiles
+    once per input shape; successive eval batches reuse the executables.
+
+    n_target_classes=9 matches AutoAttack 'standard' (both APGD-T and FAB-T
+    iterate the top-9 wrong classes, utils/aa.py 'standard' suite)."""
+    n_tc = max(1, min(n_target_classes, num_classes - 1))
+
+    apgd_cfg = APGDConfig(epsilon, apgd_steps, num_classes)
+    fab_cfg = FABConfig(epsilon, fab_steps)
+    sq_cfg = SquareConfig(epsilon, square_queries, num_classes=num_classes)
+
+    j_apgd_ce = jax.jit(lambda x, y, k: apgd(forward_fn, x, y, k, apgd_cfg))
+    j_apgd_t = jax.jit(lambda x, y, yt, k: apgd(forward_fn, x, y, k, apgd_cfg,
+                                                y_target=yt))
+    j_fab_t = jax.jit(lambda x, y, yt, k: fab_targeted(forward_fn, x, y, yt,
+                                                       k, fab_cfg))
+    j_square = jax.jit(lambda x, y, k: square_attack(forward_fn, x, y, k,
+                                                     sq_cfg))
+    j_pred = jax.jit(lambda x, k: jnp.argmax(forward_fn(x, k), axis=-1))
+
+    def suite(x, y, key):
+        expand = (slice(None),) + (None,) * (x.ndim - 1)
+        key, k = jax.random.split(key)
+        x_adv = x
+        still_ok = j_pred(x, k) == y
+
+        def merge(x_adv, cand, still_ok, k):
+            newly_broken = (j_pred(cand, k) != y) & still_ok
+            x_adv = jnp.where(newly_broken[expand], cand, x_adv)
+            return x_adv, still_ok & ~newly_broken
+
+        if "apgd-ce" in attacks_to_run:
+            key, k1, k2 = jax.random.split(key, 3)
+            x_adv, still_ok = merge(x_adv, j_apgd_ce(x, y, k1), still_ok, k2)
+
+        targets = None
+        if "apgd-t" in attacks_to_run or "fab-t" in attacks_to_run:
+            key, k0 = jax.random.split(key)
+            order = jnp.argsort(forward_fn(x, k0), axis=-1)
+
+        if "apgd-t" in attacks_to_run:
+            for t in range(2, 2 + n_tc):
+                key, k1, k2 = jax.random.split(key, 3)
+                cand = j_apgd_t(x, y, order[:, -t], k1)
+                x_adv, still_ok = merge(x_adv, cand, still_ok, k2)
+
+        if "fab-t" in attacks_to_run:
+            for t in range(2, 2 + n_tc):
+                key, k1, k2 = jax.random.split(key, 3)
+                cand = j_fab_t(x, y, order[:, -t], k1)
+                x_adv, still_ok = merge(x_adv, cand, still_ok, k2)
+
+        if "square" in attacks_to_run:
+            key, k1, k2 = jax.random.split(key, 3)
+            x_adv, still_ok = merge(x_adv, j_square(x, y, k1), still_ok, k2)
+        return x_adv
+
+    return suite
+
+
 def run_autoattack(forward_fn: ForwardFn, x: jnp.ndarray, y: jnp.ndarray,
                    key: jax.Array, *, epsilon: float, num_classes: int,
                    apgd_steps: int = 100, square_queries: int = 1000,
-                   n_target_classes: int = 3,
-                   attacks_to_run=("apgd-ce", "apgd-t", "square")) -> jnp.ndarray:
-    """APGD-CE -> APGD-T -> Square, accumulating successful adversarials.
-    Returns x_adv; robust accuracy = acc(forward(x_adv), y).
-
-    `attacks_to_run` selects a subset — the reference's AutoAttack
-    'individual'/'custom' versions (utils/aa.py:119-153)."""
-    def pred(xa, k):
-        return jnp.argmax(forward_fn(xa, k), axis=-1)
-
-    x_adv = x
-    key, k = jax.random.split(key)
-    still_ok = pred(x_adv, k) == y
-    expand = (slice(None),) + (None,) * (x.ndim - 1)
-
-    def merge(x_adv, cand, still_ok, k):
-        newly_broken = (pred(cand, k) != y) & still_ok
-        x_adv = jnp.where(newly_broken[expand], cand, x_adv)
-        return x_adv, still_ok & ~newly_broken
-
-    if "apgd-ce" in attacks_to_run:
-        key, k1, k2 = jax.random.split(key, 3)
-        cand = apgd(forward_fn, x, y, k1,
-                    APGDConfig(epsilon, apgd_steps, num_classes))
-        x_adv, still_ok = merge(x_adv, cand, still_ok, k2)
-
-    if "apgd-t" in attacks_to_run:
-        # APGD-T over the top-k wrong classes
-        for t in range(2, 2 + n_target_classes):
-            key, k0, k1, k2 = jax.random.split(key, 4)
-            logits = forward_fn(x, k0)
-            y_target = jnp.argsort(logits, axis=-1)[:, -t]
-            cand = apgd(forward_fn, x, y, k1,
-                        APGDConfig(epsilon, apgd_steps, num_classes),
-                        y_target=y_target)
-            x_adv, still_ok = merge(x_adv, cand, still_ok, k2)
-
-    if "square" in attacks_to_run:
-        key, k1, k2 = jax.random.split(key, 3)
-        cand = square_attack(forward_fn, x, y, k1,
-                             SquareConfig(epsilon, square_queries,
-                                          num_classes=num_classes))
-        x_adv, still_ok = merge(x_adv, cand, still_ok, k2)
-    return x_adv
+                   n_target_classes: int = 9,
+                   attacks_to_run=STANDARD_ATTACKS) -> jnp.ndarray:
+    """One-shot suite run (see build_autoattack for the compiled version).
+    Returns x_adv; robust accuracy = acc(forward(x_adv), y)."""
+    suite = build_autoattack(
+        forward_fn, epsilon=epsilon, num_classes=num_classes,
+        apgd_steps=apgd_steps, square_queries=square_queries,
+        n_target_classes=n_target_classes, attacks_to_run=attacks_to_run)
+    return suite(x, y, key)

@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """Standalone robustness evaluation: PGD batteries, CW, FGSM, and the
-AutoAttack-lite suite (APGD-CE / APGD-T / Square).
+AutoAttack standard suite (APGD-CE / APGD-T / FAB-T / Square).
 
 Covers the reference's --evaluate paths (experiments_*.py) and the
 standalone utils/aa.py AutoAttack driver (which, as shipped, imports a
@@ -18,7 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from edge_enhancement_tpu.attacks.autoattack import run_autoattack
+from edge_enhancement_tpu.attacks.autoattack import (STANDARD_ATTACKS,
+                                                     build_autoattack)
 from edge_enhancement_tpu.data.datasets import get_dataset
 from edge_enhancement_tpu.models.registry import build_model
 from edge_enhancement_tpu.parallel import mesh as meshlib
@@ -38,8 +39,9 @@ def main():
                         help="comma list: pgd,fgsm,cw,aa")
     parser.add_argument("--aa-batches", type=int, default=None,
                         help="cap AA to first N batches")
-    parser.add_argument("--aa-attacks", default="apgd-ce,apgd-t,square",
-                        help="AA subset (reference 'individual' mode)")
+    parser.add_argument("--aa-attacks", default=",".join(STANDARD_ATTACKS),
+                        help="AA subset (reference 'individual' mode); "
+                             "default is the 4-attack standard suite")
     args = parser.parse_args()
     cfg = load_config(args.config, vars(args))
     apply_platform(cfg)
@@ -96,10 +98,23 @@ def main():
     if "cw" in suite:
         battery("CW", 20, 0.00392, "CW-Linf")
     if "aa" in suite:
-        # AutoAttack-lite over the (optionally capped) eval set
+        # AutoAttack over the (optionally capped) eval set. build_autoattack
+        # jits every attack once (static step counts); successive batches of
+        # the same shape reuse the compiled executables — usable on the TPU
+        # where per-program compiles are minutes.
         def fwd(xx, kk):
             return ops.logits_eval(state.params, state.batch_stats, xx, kk)
 
+        suite_fn = build_autoattack(
+            fwd, epsilon=eps, num_classes=spec.num_classes,
+            apgd_steps=int(cfg.get("aa_apgd_steps", 100)),
+            fab_steps=int(cfg.get("aa_fab_steps", 100)),
+            square_queries=int(cfg.get("aa_square_queries", 1000)),
+            n_target_classes=int(cfg.get("aa_target_classes", 9)),
+            attacks_to_run=tuple(
+                a.strip() for a in
+                str(cfg.get("aa_attacks", ",".join(STANDARD_ATTACKS))).split(",")))
+        acc_fn = jax.jit(lambda xx, yy, kk: topk_accuracy(fwd(xx, kk), yy))
         a1, c1 = AverageMeter(), AverageMeter()
         key = jax.random.PRNGKey(31337)
         cap = cfg.get("aa_batches") or limit
@@ -108,18 +123,12 @@ def main():
                 break
             key, k1, k2 = jax.random.split(key, 3)
             xj, yj = jnp.asarray(x), jnp.asarray(y)
-            x_adv = run_autoattack(
-                fwd, xj, yj, k1, epsilon=eps, num_classes=spec.num_classes,
-                apgd_steps=int(cfg.get("aa_apgd_steps", 100)),
-                square_queries=int(cfg.get("aa_square_queries", 1000)),
-                attacks_to_run=tuple(
-                    a.strip() for a in
-                    str(cfg.get("aa_attacks", "apgd-ce,apgd-t,square")).split(",")))
-            clean = topk_accuracy(fwd(xj, k2), yj)
-            adv = topk_accuracy(fwd(x_adv, k2), yj)
+            x_adv = suite_fn(xj, yj, k1)
+            clean = jax.device_get(acc_fn(xj, yj, k2))
+            adv = jax.device_get(acc_fn(x_adv, yj, k2))
             c1.update(float(clean["top1"]), len(y))
             a1.update(float(adv["top1"]), len(y))
-        log(f"AutoAttack-lite: clean Prec@1 {c1.avg:.3f}  robust Prec@1 {a1.avg:.3f}")
+        log(f"AutoAttack: clean Prec@1 {c1.avg:.3f}  robust Prec@1 {a1.avg:.3f}")
 
 
 if __name__ == "__main__":

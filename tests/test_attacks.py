@@ -7,8 +7,12 @@ import jax.numpy as jnp
 import pytest
 from flax import linen as nn
 
-from edge_enhancement_tpu.attacks.autoattack import (APGDConfig, SquareConfig,
-                                                     apgd, run_autoattack,
+from edge_enhancement_tpu.attacks.autoattack import (APGDConfig, FABConfig,
+                                                     SquareConfig,
+                                                     _proj_linf_box, apgd,
+                                                     build_autoattack,
+                                                     fab_targeted,
+                                                     run_autoattack,
                                                      square_attack)
 from edge_enhancement_tpu.attacks.cw import CWConfig, cw_linf
 from edge_enhancement_tpu.attacks.pgd import (PGDConfig, fgsm, pgd_l2,
@@ -127,6 +131,46 @@ class TestSquare:
         assert float(x_adv.min()) >= 0 and float(x_adv.max()) <= 1
 
 
+class TestFAB:
+    def test_projection_hits_hyperplane_inside_box(self):
+        # random hyperplanes: the projection must satisfy w.z = c (to
+        # bisection tolerance), stay in [0,1], and not move farther in
+        # L-inf than the box-extremal solution
+        rng = np.random.default_rng(0)
+        p = jnp.asarray(rng.random((16, 32)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((16, 32)), jnp.float32)
+        # pick c between the min and max of w.z over the box -> feasible
+        lo = np.sum(np.where(np.asarray(w) > 0, 0.0, np.asarray(w)), axis=1)
+        hi = np.sum(np.where(np.asarray(w) > 0, np.asarray(w), 0.0), axis=1)
+        c = jnp.asarray(lo + rng.random(16) * (hi - lo), jnp.float32)
+        z = _proj_linf_box(p, w, c, iters=40)
+        assert float(z.min()) >= 0.0 and float(z.max()) <= 1.0
+        resid = np.asarray(jnp.sum(w * z, axis=1) - c)
+        scale = np.abs(np.asarray(w)).sum(axis=1)
+        assert (np.abs(resid) <= 1e-3 * scale + 1e-4).all(), resid
+
+    def test_projection_identity_when_on_plane(self):
+        p = jnp.full((2, 8), 0.5)
+        w = jnp.ones((2, 8))
+        c = jnp.full((2,), 4.0)  # w.p == c already
+        z = _proj_linf_box(p, w, c, iters=40)
+        np.testing.assert_allclose(np.asarray(z), np.asarray(p), atol=1e-5)
+
+    def test_fab_returns_valid_adversarials_or_clean(self, toy):
+        fwd, x, y = toy
+        tgt = (y + 1) % 4
+        cfg = FABConfig(epsilon=0.3, num_steps=20)
+        x_adv = fab_targeted(fwd, x, y, tgt, jax.random.PRNGKey(13), cfg)
+        d = np.abs(np.asarray(x_adv - x)).reshape(len(x), -1).max(axis=1)
+        assert (d <= 0.3 + 1e-5).all()
+        assert float(x_adv.min()) >= 0 and float(x_adv.max()) <= 1
+        # every sample FAB moved must actually be misclassified (FAB only
+        # keeps points that crossed the boundary within epsilon)
+        moved = d > 1e-6
+        pred = np.asarray(jnp.argmax(fwd(x_adv, None), -1))
+        assert (pred[moved] != np.asarray(y)[moved]).all()
+
+
 class TestSuite:
     def test_robust_acc_monotone(self, toy):
         fwd, x, y = toy
@@ -137,6 +181,21 @@ class TestSuite:
         acc_adv = float(jnp.mean((jnp.argmax(fwd(x_adv, None), -1) == y)))
         assert acc_adv <= acc_clean
         assert np.abs(np.asarray(x_adv - x)).max() <= 0.2 + 1e-5
+
+    def test_standard_suite_with_fab(self, toy):
+        fwd, x, y = toy
+        suite = build_autoattack(fwd, epsilon=0.25, num_classes=4,
+                                 apgd_steps=8, fab_steps=8, square_queries=8,
+                                 n_target_classes=2)
+        x_adv = suite(x, y, jax.random.PRNGKey(14))
+        assert np.abs(np.asarray(x_adv - x)).max() <= 0.25 + 1e-5
+        acc_clean = float(jnp.mean((jnp.argmax(fwd(x, None), -1) == y)))
+        acc_adv = float(jnp.mean((jnp.argmax(fwd(x_adv, None), -1) == y)))
+        assert acc_adv <= acc_clean
+        # compiled suite is reusable on a second batch of the same shape
+        x2 = jnp.clip(x + 0.01, 0, 1)
+        x_adv2 = suite(x2, y, jax.random.PRNGKey(15))
+        assert np.abs(np.asarray(x_adv2 - x2)).max() <= 0.25 + 1e-5
 
 
 class TestRestartPGD:
