@@ -73,18 +73,17 @@ def cw_linf(forward_fn: ForwardFn, x: jnp.ndarray, y: jnp.ndarray,
         return -jnp.sum(per_sample * active.astype(x.dtype))
 
     grad_fn = jax.grad(margin_loss, argnums=0)
+    keys = jax.random.split(key_loop, max(cfg.max_iters, 1))
 
-    def body(_, carry):
-        adv_c, k = carry
-        k, k_step = jax.random.split(k)
-        g = grad_fn(adv_c, k_step)
+    def body(i, adv_c):
+        g = grad_fn(adv_c, keys[i])
         adv_c = adv_c + cfg.step_size * jnp.sign(g)
         adv_c = jnp.maximum(jnp.minimum(adv_c, x + cfg.magnitude), x - cfg.magnitude)
         adv_c = jnp.clip(adv_c, 0.0, 1.0)
         adv_c = jnp.maximum(jnp.minimum(adv_c, max_x), min_x)
-        return adv_c, k
+        return adv_c
 
-    adv, _ = jax.lax.fori_loop(0, cfg.max_iters, body, (adv, key_loop))
+    adv = jax.lax.fori_loop(0, cfg.max_iters, body, adv)
     adv = jnp.clip(adv, 0.0, 1.0)
 
     now_p = adv - x

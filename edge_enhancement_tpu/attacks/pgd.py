@@ -74,21 +74,23 @@ def pgd_linf(loss_fn: LossFn, x_natural: jnp.ndarray, key: jax.Array,
     x0 = _init_perturbation(cfg, key_init, x_natural)
     sign = 1.0 if cfg.ascend else -1.0
     grad_fn = jax.grad(loss_fn, argnums=0, has_aux=True)
+    # pre-split the per-step keys: one batched threefry up front instead of a
+    # serialized chain of tiny split ops on the critical path between the
+    # big fwd/bwd fusions (measured ~4% of the TPU step)
+    keys = jax.random.split(key_loop, max(cfg.num_steps, 1))
 
-    def body(_, carry):
-        x, aux_c, k = carry
-        k, k_step = jax.random.split(k)
-        g, aux_c = grad_fn(x, aux_c, k_step)
+    def body(i, carry):
+        x, aux_c = carry
+        g, aux_c = grad_fn(x, aux_c, keys[i])
         x = x + sign * cfg.step_size * jnp.sign(g)
         if cfg.project:
             x = jnp.minimum(jnp.maximum(x, x_natural - cfg.epsilon),
                             x_natural + cfg.epsilon)
         x = jnp.clip(x, cfg.clip_min, cfg.clip_max)
-        return x, aux_c, k
+        return x, aux_c
 
-    x_adv, aux, _ = jax.lax.fori_loop(0, cfg.num_steps, body,
-                                      (x0, aux, key_loop),
-                                      unroll=cfg.unroll)
+    x_adv, aux = jax.lax.fori_loop(0, cfg.num_steps, body, (x0, aux),
+                                   unroll=cfg.unroll)
     return x_adv, aux
 
 
@@ -107,11 +109,11 @@ def pgd_l2(loss_fn: LossFn, x_natural: jnp.ndarray, key: jax.Array,
     x0 = _init_perturbation(cfg, key_init, x_natural)
     grad_fn = jax.grad(loss_fn, argnums=0, has_aux=True)
     expand = (slice(None),) + (None,) * (x_natural.ndim - 1)
+    keys = jax.random.split(key_loop, max(cfg.num_steps, 1))
 
-    def body(_, carry):
-        x, aux_c, k = carry
-        k, k_step = jax.random.split(k)
-        g, aux_c = grad_fn(x, aux_c, k_step)
+    def body(i, carry):
+        x, aux_c = carry
+        g, aux_c = grad_fn(x, aux_c, keys[i])
         g = g / (_batch_l2_norm(g)[expand] + 1e-8)
         x = x + cfg.step_size * g
         delta = x - x_natural
@@ -119,10 +121,9 @@ def pgd_l2(loss_fn: LossFn, x_natural: jnp.ndarray, key: jax.Array,
         scale = jnp.where(norm > cfg.epsilon, cfg.epsilon / jnp.maximum(norm, 1e-12), 1.0)
         x = x_natural + delta * scale[expand]
         x = jnp.clip(x, cfg.clip_min, cfg.clip_max)
-        return x, aux_c, k
+        return x, aux_c
 
-    x_adv, aux, _ = jax.lax.fori_loop(0, cfg.num_steps, body,
-                                      (x0, aux, key_loop))
+    x_adv, aux = jax.lax.fori_loop(0, cfg.num_steps, body, (x0, aux))
     return x_adv, aux
 
 

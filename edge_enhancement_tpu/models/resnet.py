@@ -36,6 +36,40 @@ conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 Conv = partial(nn.Conv, use_bias=False, kernel_init=conv_init)
 
 
+class StemConv(nn.Module):
+    """The torchvision 7x7 stride-2 padding-3 stem conv, evaluated as a
+    4x4 stride-1 conv over a 2x2 space-to-depth input (12 channels).
+
+    Exact algebraic rewrite (MLPerf-style): with i = 2*oy + dy - 3 and
+    i = 2*(oy + du - 2) + py one gets dy = 2*du + py - 1, so
+    W'[du,dv,(py,px,c),k] = W[2du+py-1, 2dv+px-1, c, k] (zero outside 0..6)
+    and asymmetric padding (2,1). Same FLOPs, but the (C=3)-channel tensors
+    that cripple MXU lane packing — especially the per-attack-iteration
+    input gradient d(conv)/dx of shape [N,H,W,3] — become 12-channel at
+    half resolution. The parameter stays a [7,7,C,features] 'kernel' under
+    this module's name, so checkpoints/weight-copy parity are unaffected."""
+    features: int = 64
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        n, h, w, c = x.shape
+        kernel = self.param("kernel", conv_init, (7, 7, c, self.features),
+                            jnp.float32)
+        if h % 2 or w % 2:  # odd extents can't space-to-depth; plain path
+            return jax.lax.conv_general_dilated(
+                x, kernel.astype(x.dtype), (2, 2), ((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        z = x.reshape(n, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+        z = z.reshape(n, h // 2, w // 2, 4 * c)
+        wp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        wp = wp.reshape(4, 2, 4, 2, c, self.features)
+        wp = wp.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, self.features)
+        return jax.lax.conv_general_dilated(
+            z, wp.astype(x.dtype), (1, 1), ((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 def batch_norm(train: bool, dtype=None, name=None):
     """BN with f32 parameters/stats; `dtype` sets the computation dtype
     (bf16 under the mixed-precision policy, the reference's apex-AMP role)."""
@@ -134,7 +168,8 @@ class ResNet(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
 
-        x = Conv(64, (7, 7), strides=(2, 2), padding=3, dtype=self.dtype)(x)
+        # name 'Conv_0' keeps the param path of the plain 7x7 stem conv
+        x = StemConv(64, dtype=self.dtype, name="Conv_0")(x)
         x = nn.relu(batch_norm(train, self.dtype)(x))
         x = max_pool_3x3_s2(x)
 
@@ -229,7 +264,7 @@ class PreActResNet(nn.Module):
         if self.dataset.startswith("CIFAR"):
             x = Conv(64, (3, 3), padding=1, dtype=self.dtype)(x)
         else:
-            x = Conv(64, (7, 7), strides=(2, 2), padding=3, dtype=self.dtype)(x)
+            x = StemConv(64, dtype=self.dtype, name="Conv_0")(x)
             x = nn.relu(batch_norm(train, self.dtype)(x))
             x = max_pool_3x3_s2(x)
 
