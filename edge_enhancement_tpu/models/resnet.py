@@ -156,6 +156,11 @@ class ResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # Under the bf16 policy the EE front-end computes in bf16 too (the
+        # reference's apex-O1 runs its conv-based EE ops in fp16); the ops
+        # are dtype-preserving and accumulate matmuls in f32.
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         if self.ee is not None:
             square_key = self.make_rng("square") if self.ee.square else None
             edge_map = None
@@ -165,8 +170,6 @@ class ResNet(nn.Module):
                 from .u2net import U2Net
                 edge_map = U2Net(full=False)(x, train)
             x = ee_frontend(x, self.ee, square_key, edge_map=edge_map)
-        if self.dtype is not None:
-            x = x.astype(self.dtype)
 
         # name 'Conv_0' keeps the param path of the plain 7x7 stem conv
         x = StemConv(64, dtype=self.dtype, name="Conv_0")(x)
@@ -255,11 +258,11 @@ class PreActResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         if self.ee is not None:
             square_key = self.make_rng("square") if self.ee.square else None
             x = ee_frontend(x, self.ee, square_key)
-        if self.dtype is not None:
-            x = x.astype(self.dtype)
 
         if self.dataset.startswith("CIFAR"):
             x = Conv(64, (3, 3), padding=1, dtype=self.dtype)(x)

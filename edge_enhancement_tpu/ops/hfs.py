@@ -76,8 +76,14 @@ def high_freq_suppress(x: jnp.ndarray, r: int) -> jnp.ndarray:
     ar, ai, br, bi = _hfs_axis_operators(h, w, r)
 
     def sandwich(a_mat, b_mat):
-        t = jnp.einsum("ah,nhwc->nawc", a_mat, x)
-        return jnp.einsum("nawc,bw->nabc", t, b_mat)
+        # operators in the input dtype (bf16 under the mixed-precision
+        # policy -> MXU bf16 throughput), accumulation in f32
+        a_mat = jnp.asarray(a_mat, x.dtype)
+        b_mat = jnp.asarray(b_mat, x.dtype)
+        t = jnp.einsum("ah,nhwc->nawc", a_mat, x,
+                       preferred_element_type=jnp.float32)
+        return jnp.einsum("nawc,bw->nabc", t.astype(x.dtype), b_mat,
+                          preferred_element_type=jnp.float32)
 
     y = sandwich(ar, br) - sandwich(ai, bi)
     return y.astype(x.dtype)

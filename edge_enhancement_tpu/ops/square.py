@@ -55,8 +55,10 @@ def add_square(x: jnp.ndarray, key: jax.Array, *,
     b, h, w, c = x.shape
     key_init, key_loop = jax.random.split(key)
 
-    # Column-stripe init: sign per (batch, 1, column, channel), broadcast over rows.
-    stripes = _random_sign(key_init, (b, 1, w, c))
+    # Column-stripe init: sign per (batch, 1, column, channel), broadcast over
+    # rows. Signs are exact in any float dtype; cast so a bf16 front-end
+    # (mixed-precision policy) stays bf16 end-to-end.
+    stripes = _random_sign(key_init, (b, 1, w, c)).astype(x.dtype)
     x_best = jnp.clip(x + epsilon * stripes, 0.0, 1.0)
 
     n_features = c * h * h
@@ -70,7 +72,7 @@ def add_square(x: jnp.ndarray, key: jax.Array, *,
         vh = jnp.floor(jax.random.uniform(key_pos) * (h - s)).astype(jnp.int32)
         in_span = (rows >= vh) & (rows < vh + s)
         square_mask = (in_span[:, None] & in_span[None, :]).astype(x.dtype)
-        channel_sign = _random_sign(key_sgn, (1, 1, 1, c))
+        channel_sign = _random_sign(key_sgn, (1, 1, 1, c)).astype(x.dtype)
         delta = 2.0 * epsilon * channel_sign * square_mask[None, :, :, None]
         x_best = x_best + delta
         x_best = jnp.minimum(jnp.maximum(x_best, x - epsilon), x + epsilon)

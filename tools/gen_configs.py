@@ -192,11 +192,26 @@ def _fast_phase(eps_px, phase, ee):
                  high=76.0, type_canny="CannyFilter_step125_1")
     return c
 
+def _fast_evaluate(eps_px, ee):
+    """configs_fast_{2,4}px_evaluate{,_ee}.yml: eval a finished 3-phase run
+    — 288 crop, bs128, PGD-50 @ 1/255 with the training clip_eps ball
+    (reference fgsm_imagenet/configs*/configs_fast_*_evaluate*.yml)."""
+    c = _fast_phase(eps_px, 3, ee)
+    c.update(batch_size=128, evaluate=True, fgsm_step=float(eps_px),
+             num_steps_1=50, step_size_1=0.00392156862)
+    if eps_px == 4:
+        c.update(fgsm_step=5.0)
+    for k in ("num_steps_2", "step_size_2"):
+        c.pop(k, None)
+    return c
+
 fast_entries = {}
 for eps_px in (2, 4):
     for phase in (1, 2, 3):
         fast_entries[f"fast_{eps_px}px_phase{phase}"] = _fast_phase(eps_px, phase, False)
         fast_entries[f"fast_{eps_px}px_phase{phase}_ee"] = _fast_phase(eps_px, phase, True)
+    fast_entries[f"fast_{eps_px}px_evaluate"] = _fast_evaluate(eps_px, False)
+    fast_entries[f"fast_{eps_px}px_evaluate_ee"] = _fast_evaluate(eps_px, True)
 CONFIGS["fast_imagenet"] = (dict(), fast_entries)
 
 

@@ -251,7 +251,9 @@ def main():
 
     # free/fast AT have their own replay loop (reference free_imagenet /
     # fgsm_imagenet drivers); dispatch before the generic objective path.
-    if cfg["method_name"] in ("free_AT", "fast_AT"):
+    # --evaluate skips it (the fast_*_evaluate configs run the PGD battery
+    # only, reference main_fast.py configs.evaluate path).
+    if cfg["method_name"] in ("free_AT", "fast_AT") and not cfg.get("evaluate"):
         return run_free_fast(cfg, ops, mesh, state, train_ds, val_ds, log,
                              out_dir, num_classes)
 
