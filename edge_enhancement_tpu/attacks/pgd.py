@@ -89,8 +89,17 @@ def pgd_linf(loss_fn: LossFn, x_natural: jnp.ndarray, key: jax.Array,
         x = jnp.clip(x, cfg.clip_min, cfg.clip_max)
         return x, aux_c
 
-    x_adv, aux = jax.lax.fori_loop(0, cfg.num_steps, body, (x0, aux),
-                                   unroll=cfg.unroll)
+    if cfg.unroll >= cfg.num_steps:
+        # full static unroll: same XLA program as fori_loop(unroll=n) but each
+        # iteration is traced individually (distinct trace-time effects, e.g.
+        # per-call randomness fakes in the parity tests)
+        carry = (x0, aux)
+        for i in range(cfg.num_steps):
+            carry = body(i, carry)
+        x_adv, aux = carry
+    else:
+        x_adv, aux = jax.lax.fori_loop(0, cfg.num_steps, body, (x0, aux),
+                                       unroll=cfg.unroll)
     return x_adv, aux
 
 

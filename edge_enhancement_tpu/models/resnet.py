@@ -77,8 +77,9 @@ def batch_norm(train: bool, dtype=None, name=None):
                         epsilon=1e-5, dtype=dtype, name=name)
 
 
-def max_pool_3x3_s2(x):
-    return nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+# torch-backward-exact max pool (first-max tie routing; see ops/pooling.py —
+# the EE front-end's saturated plateaus make pooled ties common)
+from ..ops.pooling import max_pool_3x3_s2  # noqa: E402
 
 
 class BasicBlock(nn.Module):

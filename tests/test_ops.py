@@ -211,3 +211,29 @@ class TestAddSquare:
         assert p_selection(11, 0.8, 10000) == 0.4
         assert p_selection(51, 0.8, 10000) == 0.2
         assert p_selection(9000, 0.8, 10000) == 0.8 / 512
+
+
+class TestMaxPoolTieSemantics:
+    def test_xla_backward_matches_firstmax_oracle(self):
+        """The backbones rely on XLA's select-and-scatter routing gradient to
+        the FIRST max per window (torch semantics). The EE front-end makes
+        exact pooling ties common (saturated plateaus), so pin the convention
+        against the explicit first-max oracle on tie-heavy inputs."""
+        import jax
+        import jax.numpy as jnp
+        from edge_enhancement_tpu.ops.pooling import (max_pool_3x3_s2,
+                                                      max_pool_3x3_s2_firstmax)
+        rng = np.random.default_rng(0)
+        for h in (64, 63, 28):
+            x = jnp.asarray((rng.integers(0, 4, size=(2, h, h, 3)) / 3.0)
+                            .astype(np.float32))
+            np.testing.assert_array_equal(
+                np.asarray(max_pool_3x3_s2(x)),
+                np.asarray(max_pool_3x3_s2_firstmax(x)))
+            g = jnp.asarray(rng.standard_normal(
+                max_pool_3x3_s2(x).shape).astype(np.float32))
+            gx = jax.grad(lambda xx: jnp.sum(max_pool_3x3_s2(xx) * g))(x)
+            go = jax.grad(
+                lambda xx: jnp.sum(max_pool_3x3_s2_firstmax(xx) * g))(x)
+            np.testing.assert_allclose(np.asarray(gx), np.asarray(go),
+                                       atol=1e-6)

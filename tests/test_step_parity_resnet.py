@@ -28,6 +28,37 @@ import builtins as _b
 six.builtins = _b
 sys.modules.setdefault("torch._six", six)
 torch.Tensor.cuda = lambda self, *a, **k: self
+# the EE models construct their Canny with use_cuda=True (hard-coded in
+# resnet_EE*.py), which routes constants through .to('cuda'); remap to cpu.
+_orig_to = torch.Tensor.to
+
+
+def _to_cpu(self, *args, **kwargs):
+    def fix(a):
+        if isinstance(a, torch.device) and a.type == "cuda":
+            return "cpu"
+        if isinstance(a, str) and a.startswith("cuda"):
+            return "cpu"
+        return a
+    args = tuple(fix(a) for a in args)
+    if "device" in kwargs:
+        kwargs["device"] = fix(kwargs["device"])
+    return _orig_to(self, *args, **kwargs)
+
+
+torch.Tensor.to = _to_cpu
+# old rfft/irfft API used by HighFreqSuppress (utils/core.py:48-50)
+if not hasattr(torch, "rfft") or not callable(getattr(torch, "rfft", None)):
+    def _old_rfft(x, ndim, onesided=True):
+        assert ndim == 2 and not onesided
+        return torch.view_as_real(torch.fft.fft2(x))
+
+    def _old_irfft(x, ndim, onesided=True):
+        assert ndim == 2 and not onesided
+        return torch.fft.ifft2(torch.view_as_complex(x.contiguous())).real
+
+    torch.rfft = _old_rfft
+    torch.irfft = _old_irfft
 # torchvision is absent in this image; the reference only imports it for
 # pretrained-weight downloads, which this test never uses.
 if "torchvision" not in sys.modules:
