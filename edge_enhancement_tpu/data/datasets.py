@@ -220,6 +220,160 @@ def load_tiny_imagenet_val(root: str, image_size: int) -> ArrayDataset:
 
 
 # --------------------------------------------------------------------------
+# Streaming ImageFolder (ImageNet-scale: decode from disk, O(batch) memory)
+# --------------------------------------------------------------------------
+
+def rrc_box_from_draws(draws: np.ndarray, h: int, w: int) -> tuple[int, int, int, int]:
+    """One torchvision RandomResizedCrop box (scale 0.08-1.0, ratio 3/4-4/3,
+    10 tries then centre fallback) in original-image coordinates, computed
+    from 40 pre-drawn uniforms (10 tries x {scale, log-ratio, y, x}).
+    Mirrors runtime/eedata.cpp::rrc_box exactly so the native and PIL
+    fallback pipelines produce identical crops from the same draws."""
+    area = h * w
+    lr_lo, lr_hi = np.log(3 / 4), np.log(4 / 3)
+    for t in range(10):
+        target_area = (0.08 + float(draws[t * 4]) * 0.92) * area
+        ratio = np.exp(lr_lo + float(draws[t * 4 + 1]) * (lr_hi - lr_lo))
+        bw = int(round(np.sqrt(target_area * ratio)))
+        bh = int(round(np.sqrt(target_area / ratio)))
+        if 0 < bw <= w and 0 < bh <= h:
+            by = int(float(draws[t * 4 + 2]) * (h - bh + 1))
+            bx = int(float(draws[t * 4 + 3]) * (w - bw + 1))
+            return by, bx, bh, bw
+    s = min(h, w)
+    return (h - s) // 2, (w - s) // 2, s, s
+
+
+def _eval_center_box(h: int, w: int, resize_to: int = 256,
+                     crop: int = 224) -> tuple[int, int, int, int]:
+    """Resize(short=resize_to) + CenterCrop(crop) as ONE original-resolution
+    box: a centred (crop/resize_to)*short square (reference eval transform,
+    utils/data_loader.py:111-115; single resampling instead of two)."""
+    s = min(h, w)
+    side = max(1, int(round(s * crop / float(resize_to))))
+    return (h - side) // 2, (w - side) // 2, side, side
+
+
+class StreamingImageFolder:
+    """ImageFolder streamed from disk: only paths/labels live in memory; each
+    batch is read + JPEG-decoded + cropped/resized on demand through the
+    native runtime, with one background prefetch thread (the reference's
+    DataLoader-worker role, utils/data_loader.py:98-120). Train mode applies
+    RandomResizedCrop(image_size) + hflip FROM THE ORIGINAL RESOLUTION; eval
+    mode applies Resize(256)+CenterCrop(224)-equivalent single-box resampling
+    (or a plain full-image resize for non-ImageNet sizes)."""
+
+    def __init__(self, root: str, image_size: int, train: bool,
+                 class_to_idx: Optional[dict] = None,
+                 eval_resize: Optional[int] = None,
+                 eval_crop: Optional[int] = None,
+                 train_mode: str = "rrc"):
+        self.root = root
+        self.image_size = int(image_size)
+        self.train = train
+        # 'rrc' = RandomResizedCrop+hflip (ImageNet train transform);
+        # 'hflip' = plain resize + hflip (Tiny-ImageNet train transform,
+        # utils/data_loader.py:66-71)
+        self.train_mode = train_mode
+        self.eval_resize, self.eval_crop = eval_resize, eval_crop
+        classes = sorted(d for d in os.listdir(root)
+                         if os.path.isdir(os.path.join(root, d)))
+        if class_to_idx is None:
+            class_to_idx = {c: i for i, c in enumerate(classes)}
+        self.class_to_idx = class_to_idx
+        paths, labels = [], []
+        for c in classes:
+            cdir = os.path.join(root, c)
+            for dirpath, _, files in os.walk(cdir):
+                for fn in sorted(files):
+                    if fn.lower().endswith((".jpeg", ".jpg", ".png")):
+                        paths.append(os.path.join(dirpath, fn))
+                        labels.append(class_to_idx[c])
+        self.paths = np.asarray(paths)
+        self.labels = np.asarray(labels, np.int32)
+
+    def __len__(self):
+        return len(self.paths)
+
+    def _load_batch(self, take: np.ndarray, rng) -> tuple[np.ndarray, np.ndarray]:
+        size = self.image_size
+        n = len(take)
+        paths = self.paths[take]
+        # draw ALL randomness up front (numpy): the native and PIL paths
+        # consume the same draws, so crops are backend-independent
+        rrc = self.train and self.train_mode == "rrc"
+        draws = rng.random((n, 40)).astype(np.float32) if rrc else None
+        flips = (rng.random(n) < 0.5).astype(np.uint8) if self.train else None
+        if rrc:
+            mode = 1
+        elif not self.train and self.eval_resize:
+            mode = 2
+        else:
+            mode = 0
+        fimgs = native.stream_decode_files(
+            paths, mode, draws, self.eval_resize, self.eval_crop or size,
+            size, size, flips, dtype=np.float32)
+        if fimgs is not None:
+            return fimgs, self.labels[take]
+        # PIL fallback with identical draw consumption
+        from PIL import Image
+        imgs = np.empty((n, size, size, 3), np.uint8)
+        for i, p in enumerate(paths):
+            with Image.open(p) as im:
+                im = im.convert("RGB")
+                h, w = im.height, im.width
+                if mode == 1:
+                    by, bx, bh, bw = rrc_box_from_draws(draws[i], h, w)
+                elif mode == 2:
+                    by, bx, bh, bw = _eval_center_box(
+                        h, w, self.eval_resize, self.eval_crop or size)
+                else:
+                    by, bx, bh, bw = 0, 0, h, w
+                imgs[i] = np.asarray(
+                    im.crop((bx, by, bx + bw, by + bh)).resize(
+                        (size, size), Image.BILINEAR))
+        if flips is not None:
+            imgs = native.hflip(imgs, flips)
+        return imgs.astype(np.float32) / 255.0, self.labels[take]
+
+    def batches(self, batch_size: int, *, shuffle: bool, seed: int,
+                epoch: int = 0, drop_last: bool = True,
+                process_index: int = 0, process_count: int = 1
+                ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        """Same contract as ArrayDataset.batches, streaming from disk with
+        one batch of lookahead (prefetch thread)."""
+        import threading
+
+        n = len(self)
+        rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
+        idx = rng.permutation(n) if shuffle else np.arange(n)
+        idx = idx[process_index::process_count]
+        stop = (len(idx) // batch_size) * batch_size if drop_last else len(idx)
+        starts = list(range(0, stop, batch_size))
+        if not starts:
+            return
+
+        slot = {}
+
+        def produce(s, aug_rng):
+            slot[s] = self._load_batch(idx[s:s + batch_size].astype(np.int64),
+                                       aug_rng)
+
+        # one aug rng per batch, deterministically derived
+        rngs = {s: np.random.default_rng(
+            np.random.SeedSequence([seed, epoch, 17, s])) for s in starts}
+        t = threading.Thread(target=produce, args=(starts[0], rngs[starts[0]]))
+        t.start()
+        for i, s in enumerate(starts):
+            t.join()
+            if i + 1 < len(starts):
+                nxt = starts[i + 1]
+                t = threading.Thread(target=produce, args=(nxt, rngs[nxt]))
+                t.start()
+            yield slot.pop(s)
+
+
+# --------------------------------------------------------------------------
 # Synthetic data (smoke tests / benchmarks without the real datasets)
 # --------------------------------------------------------------------------
 
@@ -270,12 +424,21 @@ def get_dataset(name: str, root: Optional[str], train: bool,
             # the reference requires manual restructuring into class dirs —
             # we read it directly, using the train split's class indexing.
             return load_tiny_imagenet_val(root, spec.image_size), spec
-        if train:
-            # TinyIN trains with hflip only; ImageNet with RandomResizedCrop
-            # + hflip (reference utils/data_loader.py:66-71, 104-108)
-            augment = (hflip_batch if name == "tiny_imagenet"
-                       else random_resized_crop_augment)
+        # Streamed from disk with O(batch) memory + native JPEG decode:
+        # TinyIN trains with hflip only; ImageNet with RandomResizedCrop +
+        # hflip from ORIGINAL resolution and evals with the
+        # Resize(256)+CenterCrop(224) protocol (utils/data_loader.py:66-71,
+        # 104-115), scaled proportionally when fast-AT overrides the size.
+        if name == "imagenet":
+            if train:
+                ds = StreamingImageFolder(sub, spec.image_size, train=True)
+            else:
+                ds = StreamingImageFolder(
+                    sub, spec.image_size, train=False,
+                    eval_resize=int(round(spec.image_size * 256 / 224)),
+                    eval_crop=spec.image_size)
         else:
-            augment = None
-        return load_image_folder(sub, spec.image_size, augment=augment), spec
+            ds = StreamingImageFolder(sub, spec.image_size, train=train,
+                                      train_mode="hflip")
+        return ds, spec
     raise ValueError(name)

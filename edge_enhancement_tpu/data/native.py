@@ -55,6 +55,22 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.ee_resize_bilinear.argtypes = [u8p, u8p, i64, i64, i64, i64,
                                        i32p, i32p, i32p, i32p, i64, i64]
     lib.ee_num_threads.restype = ctypes.c_int
+    lib.ee_has_jpeg.restype = ctypes.c_int
+    lib.ee_jpeg_dims.argtypes = [u8p, i64, ctypes.POINTER(ctypes.c_int32),
+                                 ctypes.POINTER(ctypes.c_int32)]
+    lib.ee_jpeg_dims.restype = ctypes.c_int
+    lib.ee_decode_jpeg_batch.argtypes = [u8p, i64p, i64p, i64, i32p, i64,
+                                         i64, u8p]
+    lib.ee_decode_jpeg_batch.restype = ctypes.c_int
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    lib.ee_stream_decode_files.argtypes = [
+        ctypes.c_char_p, i64p, i64, ctypes.c_int32,
+        ctypes.c_void_p,                 # draws (float*, may be NULL)
+        ctypes.c_int32, ctypes.c_int32, i64, i64,
+        ctypes.c_void_p,                 # out u8 (may be NULL)
+        ctypes.c_void_p,                 # out f32 (may be NULL)
+        ctypes.c_void_p]                 # flip flags (uint8*, may be NULL)
+    lib.ee_stream_decode_files.restype = ctypes.c_int
     _LIB = lib
     return _LIB
 
@@ -132,6 +148,94 @@ def rotate(imgs: np.ndarray, angles: np.ndarray) -> np.ndarray:
     out = np.empty_like(imgs)
     lib.ee_rotate_bilinear(imgs, out, n, h, w, c, angles)
     return out
+
+
+def has_jpeg() -> bool:
+    lib = _load()
+    return bool(lib is not None and lib.ee_has_jpeg())
+
+
+def jpeg_dims(data: bytes) -> tuple[int, int]:
+    """JPEG (h, w) from the header only. Falls back to PIL."""
+    lib = _load()
+    arr = np.frombuffer(data, np.uint8)
+    if lib is not None and lib.ee_has_jpeg():
+        h = ctypes.c_int32()
+        w = ctypes.c_int32()
+        if lib.ee_jpeg_dims(arr, len(arr), ctypes.byref(h),
+                            ctypes.byref(w)) == 0:
+            return int(h.value), int(w.value)
+    import io
+    from PIL import Image
+    with Image.open(io.BytesIO(data)) as im:
+        return im.height, im.width
+
+
+def decode_jpeg_batch(datas: list, boxes: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """Decode JPEG byte strings, crop boxes (by, bx, bh, bw in ORIGINAL
+    coordinates; bh <= 0 means the full image), bilinear-resize to (oh, ow)
+    RGB. Uses the native libjpeg kernel (DCT-scaled decode) when available,
+    PIL otherwise."""
+    lib = _load()
+    n = len(datas)
+    boxes = np.ascontiguousarray(boxes, np.int32).reshape(n, 4)
+    out = np.empty((n, oh, ow, 3), np.uint8)
+    if lib is not None and lib.ee_has_jpeg():
+        lens = np.asarray([len(d) for d in datas], np.int64)
+        offsets = np.zeros(n, np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        blob = np.frombuffer(b"".join(datas), np.uint8)
+        fails = lib.ee_decode_jpeg_batch(blob, offsets, lens, n,
+                                         boxes.ravel(), oh, ow,
+                                         out.reshape(n, -1))
+        if fails == 0:
+            return out
+    import io
+    from PIL import Image
+    for i, d in enumerate(datas):
+        with Image.open(io.BytesIO(d)) as im:
+            im = im.convert("RGB")
+            by, bx, bh, bw = (int(v) for v in boxes[i])
+            if bh <= 0 or bw <= 0:
+                by, bx, bh, bw = 0, 0, im.height, im.width
+            out[i] = np.asarray(
+                im.crop((bx, by, bx + bw, by + bh)).resize(
+                    (ow, oh), Image.BILINEAR))
+    return out
+
+
+def stream_decode_files(paths, mode: int, draws, eval_resize: int,
+                        eval_crop: int, oh: int, ow: int, flip_flags,
+                        dtype=np.uint8) -> Optional[np.ndarray]:
+    """One-call streaming batch: read + JPEG decode + crop/resize (+hflip)
+    (+float conversion) entirely in the native runtime. mode 0=full,
+    1=RRC(draws n x 40), 2=eval centre box. dtype float32 scales to [0,1].
+    Returns None when the native path is unavailable or any file failed
+    (caller falls back to PIL)."""
+    lib = _load()
+    if lib is None or not lib.ee_has_jpeg():
+        return None
+    n = len(paths)
+    enc = [os.fsencode(p) + b"\0" for p in paths]
+    offsets = np.zeros(n, np.int64)
+    lens = np.asarray([len(e) for e in enc], np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    blob = b"".join(enc)
+    out = np.empty((n, oh, ow, 3), dtype)
+    out_p = out.ctypes.data_as(ctypes.c_void_p)
+    u8_p, f32_p = (out_p, None) if dtype == np.uint8 else (None, out_p)
+    draws_p = None
+    if draws is not None:
+        draws = np.ascontiguousarray(draws, np.float32)
+        draws_p = draws.ctypes.data_as(ctypes.c_void_p)
+    flags_p = None
+    if flip_flags is not None:
+        flip_flags = np.ascontiguousarray(flip_flags, np.uint8)
+        flags_p = flip_flags.ctypes.data_as(ctypes.c_void_p)
+    fails = lib.ee_stream_decode_files(
+        blob, offsets, n, int(mode), draws_p, int(eval_resize or 0),
+        int(eval_crop or 0), oh, ow, u8_p, f32_p, flags_p)
+    return out if fails == 0 else None
 
 
 def resize_crops(imgs: np.ndarray, boxes: np.ndarray, oh: int, ow: int) -> np.ndarray:

@@ -154,6 +154,91 @@ class TestTinyImagenetRawVal:
         np.testing.assert_array_equal(y, [1, 0, 1])  # n100=0, n200=1
 
 
+def _make_image_folder(tmp_path, n_classes=2, per_class=8, size=(72, 96)):
+    from PIL import Image
+    rng = np.random.default_rng(0)
+    for ci in range(n_classes):
+        d = tmp_path / f"n{ci:03d}"
+        d.mkdir(parents=True)
+        for i in range(per_class):
+            arr = rng.integers(0, 256, size + (3,), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"img_{i}.JPEG", quality=92)
+
+
+class TestStreamingImageFolder:
+    def test_train_stream_shapes_and_determinism(self, tmp_path):
+        from edge_enhancement_tpu.data.datasets import StreamingImageFolder
+        _make_image_folder(tmp_path)
+        ds = StreamingImageFolder(str(tmp_path), 64, train=True)
+        assert len(ds) == 16
+        batches1 = list(ds.batches(4, shuffle=True, seed=3, epoch=0))
+        batches2 = list(ds.batches(4, shuffle=True, seed=3, epoch=0))
+        assert len(batches1) == 4
+        for (x1, y1), (x2, y2) in zip(batches1, batches2):
+            assert x1.shape == (4, 64, 64, 3) and x1.dtype == np.float32
+            assert 0.0 <= x1.min() and x1.max() <= 1.0
+            np.testing.assert_array_equal(x1, x2)   # fully deterministic
+            np.testing.assert_array_equal(y1, y2)
+        # different epoch -> different order/augmentation
+        b3 = list(ds.batches(4, shuffle=True, seed=3, epoch=1))
+        assert not np.array_equal(batches1[0][0], b3[0][0])
+
+    def test_process_sharding_disjoint(self, tmp_path):
+        from edge_enhancement_tpu.data.datasets import StreamingImageFolder
+        _make_image_folder(tmp_path)
+        ds = StreamingImageFolder(str(tmp_path), 32, train=False)
+        seen = []
+        for p in range(2):
+            for x, y in ds.batches(4, shuffle=True, seed=1,
+                                   process_index=p, process_count=2):
+                seen.extend(x.reshape(len(x), -1).sum(1).tolist())
+        assert len(seen) == 16 and len(set(np.round(seen, 4))) == 16
+
+    def test_eval_protocol_matches_pil_resize_crop(self, tmp_path):
+        """Eval boxes reproduce Resize(256)+CenterCrop(224) (as one resample)
+        — cross-checked against the explicit PIL two-step transform."""
+        from PIL import Image
+        from edge_enhancement_tpu.data.datasets import StreamingImageFolder
+        rng = np.random.default_rng(7)
+        d = tmp_path / "n000"
+        d.mkdir(parents=True)
+        yy, xx = np.mgrid[0:300, 0:400]
+        smooth = np.stack([(yy * 255 / 300), (xx * 255 / 400),
+                           ((yy + xx) * 255 / 700)], -1).astype(np.uint8)
+        Image.fromarray(smooth).save(d / "a.JPEG", quality=96)
+        ds = StreamingImageFolder(str(tmp_path), 224, train=False,
+                                  eval_resize=256, eval_crop=224)
+        x, _ = next(ds.batches(1, shuffle=False, seed=0))
+        with Image.open(d / "a.JPEG") as im:
+            im = im.convert("RGB")
+            scale = 256 / min(im.size)
+            im2 = im.resize((round(im.width * scale), round(im.height * scale)),
+                            Image.BILINEAR)
+            left = (im2.width - 224) // 2
+            top = (im2.height - 224) // 2
+            ref = np.asarray(im2.crop((left, top, left + 224, top + 224)),
+                             np.float32) / 255.0
+        # one resampling step vs two: small smooth-image deviation allowed
+        assert np.abs(x[0] - ref).mean() < 0.02
+
+    def test_get_dataset_imagenet_routes_to_streaming(self, tmp_path):
+        from edge_enhancement_tpu.data.datasets import (StreamingImageFolder,
+                                                        get_dataset)
+        (tmp_path / "train").mkdir()
+        (tmp_path / "val").mkdir()
+        _make_image_folder(tmp_path / "train", per_class=2)
+        _make_image_folder(tmp_path / "val", per_class=2)
+        tr, spec = get_dataset("imagenet", str(tmp_path), train=True,
+                               image_size=64)
+        ev, _ = get_dataset("imagenet", str(tmp_path), train=False,
+                            image_size=64)
+        assert isinstance(tr, StreamingImageFolder)
+        assert isinstance(ev, StreamingImageFolder)
+        assert ev.eval_resize == int(round(64 * 256 / 224))
+        x, y = next(tr.batches(2, shuffle=True, seed=0))
+        assert x.shape == (2, 64, 64, 3)
+
+
 class TestRandomResizedCrop:
     def test_shape_range_and_variation(self):
         from edge_enhancement_tpu.data.datasets import random_resized_crop_augment
