@@ -16,6 +16,12 @@ os.environ["JAX_PLATFORMS"] = os.environ.get("EE_TEST_PLATFORM", "cpu")
 
 import jax  # noqa: E402
 
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running tests (multi-process spawns)")
+
+
 # Force CPU regardless of the ambient platform: this image ships an
 # `axon.register` import hook that force-appends the tunnelled TPU platform
 # to jax_platforms during `import jax`, overriding the env var — so the

@@ -1,0 +1,137 @@
+"""REAL multi-process data parallelism: two OS processes, each owning 4
+virtual CPU devices, joined via jax.distributed (gloo collectives) — the
+TPU-native equivalent of the reference's torch.distributed.launch + NCCL
+DDP path (ImageNet/experiments_imagenet.py:56-61,154-161).
+
+Asserts the strongest property available: the 2-process fused PGD-AT train
+step on disjoint per-process batch halves produces NUMERICALLY IDENTICAL
+results on both processes AND matches the single-process step on the same
+global batch (SyncBN + gradient all-reduce correctness, not just liveness).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = textwrap.dedent("""
+    import os, sys, json
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    port, pid, out_path = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+    jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                               num_processes=2, process_id=pid)
+    import numpy as np
+    import jax.numpy as jnp
+    sys.path.insert(0, %(repo)r)
+    from edge_enhancement_tpu.models.cnn_mnist import net2
+    from edge_enhancement_tpu.objectives.methods import MethodConfig
+    from edge_enhancement_tpu.parallel import mesh as meshlib
+    from edge_enhancement_tpu.train.modelops import ModelOps
+    from edge_enhancement_tpu.train.trainer import (OptimConfig,
+                                                    build_train_step,
+                                                    create_train_state)
+    from edge_enhancement_tpu.data.datasets import SPECS, synthetic_dataset
+
+    ops = ModelOps(net2())
+    mesh = meshlib.make_mesh()
+    assert mesh.devices.size == 8, mesh
+    ds = synthetic_dataset(SPECS["mnist"], 64, seed=0)
+    x, y = next(ds.batches(8, shuffle=True, seed=1,
+                           process_index=jax.process_index(),
+                           process_count=jax.process_count()))
+    state = create_train_state(ops, jax.random.PRNGKey(0), jnp.asarray(x[:1]))
+    state = meshlib.replicate(mesh, state)
+    xb, yb = meshlib.shard_batch(mesh, (x, y))
+    step = build_train_step(ops, MethodConfig("AT", epsilon=0.3, num_steps=2,
+                                              step_size=0.1, num_classes=10),
+                            OptimConfig(momentum=0.9), mesh=mesh)
+    st, m = step(state, xb, yb, jax.random.PRNGKey(1), jnp.float32(0.1))
+    loss = float(jax.device_get(m["loss"]))
+    ck = float(jax.device_get(jax.jit(
+        lambda p: sum(jnp.sum(jnp.abs(l)) for l in jax.tree.leaves(p))
+    )(st.params)))
+    bn = float(jax.device_get(jnp.sum(jnp.abs(
+        jax.tree.leaves(st.batch_stats)[0])))) if jax.tree.leaves(
+        st.batch_stats) else 0.0
+    with open(out_path, "w") as f:
+        json.dump({"loss": loss, "checksum": ck, "bn": bn,
+                   "labels": np.asarray(y).tolist()}, f)
+""") % {"repo": REPO}
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_step_matches_single_process(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(WORKER)
+    port = _free_port()
+    outs = [tmp_path / f"out_{i}.json" for i in range(2)]
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("JAX_", "XLA_"))}
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(port), str(i), str(outs[i])],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)]
+    logs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        logs.append(out.decode())
+    for p, lg in zip(procs, logs):
+        assert p.returncode == 0, lg[-2000:]
+    res = [json.loads(o.read_text()) for o in outs]
+
+    # both processes observed the identical global result
+    assert res[0]["loss"] == res[1]["loss"]
+    assert res[0]["checksum"] == res[1]["checksum"]
+    # and their local label streams were disjoint halves of one global batch
+    assert res[0]["labels"] != res[1]["labels"]
+
+    # single-process reference on the SAME global batch (proc0's half first:
+    # mesh device order places process 0's shards at the leading rows)
+    import jax
+    import jax.numpy as jnp
+    from edge_enhancement_tpu.data.datasets import SPECS, synthetic_dataset
+    from edge_enhancement_tpu.models.cnn_mnist import net2
+    from edge_enhancement_tpu.objectives.methods import MethodConfig
+    from edge_enhancement_tpu.parallel import mesh as meshlib
+    from edge_enhancement_tpu.train.modelops import ModelOps
+    from edge_enhancement_tpu.train.trainer import (OptimConfig,
+                                                    build_train_step,
+                                                    create_train_state)
+    ds = synthetic_dataset(SPECS["mnist"], 64, seed=0)
+    halves = [next(ds.batches(8, shuffle=True, seed=1,
+                              process_index=i, process_count=2))
+              for i in range(2)]
+    x = np.concatenate([h[0] for h in halves])
+    y = np.concatenate([h[1] for h in halves])
+    ops = ModelOps(net2())
+    mesh = meshlib.make_mesh()
+    state = create_train_state(ops, jax.random.PRNGKey(0), jnp.asarray(x[:1]))
+    state = meshlib.replicate(mesh, state)
+    xb, yb = meshlib.shard_batch(mesh, (x, y))
+    step = build_train_step(ops, MethodConfig("AT", epsilon=0.3, num_steps=2,
+                                              step_size=0.1, num_classes=10),
+                            OptimConfig(momentum=0.9), mesh=mesh)
+    st, m = step(state, xb, yb, jax.random.PRNGKey(1), jnp.float32(0.1))
+    loss_1p = float(jax.device_get(m["loss"]))
+    ck_1p = float(jax.device_get(jax.jit(
+        lambda p: sum(jnp.sum(jnp.abs(l)) for l in jax.tree.leaves(p))
+    )(st.params)))
+    np.testing.assert_allclose(res[0]["loss"], loss_1p, rtol=1e-5)
+    np.testing.assert_allclose(res[0]["checksum"], ck_1p, rtol=1e-5)
