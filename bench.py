@@ -61,6 +61,8 @@ def main():
         args["dtype"] = os.environ["EE_BENCH_DTYPE"]
     if os.environ.get("EE_BENCH_FUSED"):
         args["fused_canny"] = True
+    if os.environ.get("EE_BENCH_REMAT"):
+        args["remat_ee"] = True
     model = build_model(arch, args, spec.num_classes)
     ops = ModelOps(model)
     mesh = meshlib.make_mesh()

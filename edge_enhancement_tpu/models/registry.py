@@ -60,6 +60,7 @@ def build_model(arch: str, args: Mapping[str, Any], num_classes: int):
     if m:
         depth = int(m.group(1))
         suffix = m.group(2) or ""
+        remat = bool(a.get("remat_ee", False))
         if suffix == "":
             return resnet(depth, num_classes=num_classes, dtype=dtype)
         if suffix == "_fd":
@@ -67,7 +68,8 @@ def build_model(arch: str, args: Mapping[str, Any], num_classes: int):
                           dtype=dtype)
         square = suffix == "_EE_square"
         return resnet(depth, num_classes=num_classes,
-                      ee=_ee_from_args(a, square=square), dtype=dtype)
+                      ee=_ee_from_args(a, square=square), dtype=dtype,
+                      remat_ee=remat)
 
     # ---- AWP PreActResNets ----------------------------------------------
     m = re.fullmatch(r"PreActResNet(\d+)(_EE(?:_BPDA(?:_3)?)?)?", arch)

@@ -154,6 +154,10 @@ class ResNet(nn.Module):
     ee: Optional[EEConfig] = None
     denoise: bool = False
     dtype: Any = None
+    # rematerialize the EE front-end in the backward pass: trades the cheap
+    # VPU stencil recompute for not storing its intermediates between the
+    # attack loop's fwd and bwd (a bandwidth experiment; see docs/PERF.md)
+    remat_ee: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -170,7 +174,9 @@ class ResNet(nn.Module):
                 # source, resnet_EE.py:130-131; BASELINE north-star)
                 from .u2net import U2Net
                 edge_map = U2Net(full=False)(x, train)
-            x = ee_frontend(x, self.ee, square_key, edge_map=edge_map)
+            fe = (jax.checkpoint(ee_frontend, static_argnums=(1,))
+                  if self.remat_ee else ee_frontend)
+            x = fe(x, self.ee, square_key, edge_map=edge_map)
 
         # name 'Conv_0' keeps the param path of the plain 7x7 stem conv
         x = StemConv(64, dtype=self.dtype, name="Conv_0")(x)
@@ -194,13 +200,14 @@ _LAYOUTS = {18: (BasicBlock, (2, 2, 2, 2)), 34: (BasicBlock, (3, 4, 6, 3)),
 
 
 def resnet(depth: int, num_classes: int = 200, ee: Optional[EEConfig] = None,
-           denoise: bool = False, dtype: Any = None) -> ResNet:
+           denoise: bool = False, dtype: Any = None,
+           remat_ee: bool = False) -> ResNet:
     if depth not in _LAYOUTS:
         raise NotImplementedError(
             f"resnet depth {depth}; supported: {sorted(_LAYOUTS)}")
     block, layers = _LAYOUTS[depth]
     return ResNet(block=block, layers=layers, num_classes=num_classes,
-                  ee=ee, denoise=denoise, dtype=dtype)
+                  ee=ee, denoise=denoise, dtype=dtype, remat_ee=remat_ee)
 
 
 class PreActBlock(nn.Module):

@@ -1,0 +1,235 @@
+#!/usr/bin/env python
+"""Convert a reference PyTorch checkpoint into this framework's Orbax format.
+
+The reference saves torch dicts {epoch, arch, state_dict, best_prec1,
+optimizer} (utils/helper.py:58-61). This tool maps the state_dict onto our
+flax parameter tree (NCHW->NHWC kernel transposes, BN buffer renames) and
+writes a checkpoint `train.py --resume` / `eval.py --resume` can load — so
+users migrating from the reference can evaluate or fine-tune their existing
+trained models directly.
+
+    python tools/convert_torch_checkpoint.py <ckpt.pth> <out_dir> \
+        --arch resnet18_EE_square --num-classes 200 [--cize 64] [...]
+
+Supported families: resnet{18,34,50,101,152}[_EE[_square]|_fd],
+PreActResNet18[_EE[_BPDA[_3]]], Net2[_EE[_square]].
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# torch name -> flax path maps
+# ---------------------------------------------------------------------------
+
+_RESNET_LAYERS = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3),
+                  101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
+
+
+def resnet_name_map(depth: int) -> dict:
+    """torch module name -> flax module path (torchvision-style ResNet;
+    flax auto-names follow call order, see tests/test_step_parity_resnet.py)."""
+    bottleneck = depth >= 50
+    blk_cls = "Bottleneck" if bottleneck else "BasicBlock"
+    m = {"conv1": ("Conv_0",), "bn1": ("BatchNorm_0",), "fc": ("Dense_0",)}
+    k = 0
+    for li, n in enumerate(_RESNET_LAYERS[depth]):
+        for i in range(n):
+            blk = f"{blk_cls}_{k}"
+            k += 1
+            base = f"layer{li + 1}.{i}"
+            n_convs = 3 if bottleneck else 2
+            for ci in range(n_convs):
+                m[f"{base}.conv{ci + 1}"] = (blk, f"Conv_{ci}")
+                m[f"{base}.bn{ci + 1}"] = (blk, f"BatchNorm_{ci}")
+            m[f"{base}.downsample.0"] = (blk, f"Conv_{n_convs}")
+            m[f"{base}.downsample.1"] = (blk, f"BatchNorm_{n_convs}")
+    return m
+
+
+def preact_name_map(depth: int) -> dict:
+    """AWP PreActResNet-18 (preactresnet.py:15-33). In our flax block the
+    projection shortcut conv is created FIRST, so within a projecting block
+    the scopes are Conv_0=shortcut, Conv_1=conv1, Conv_2=conv2; blocks
+    without projection use Conv_0=conv1, Conv_1=conv2."""
+    assert depth == 18, "PreActResNet map implemented for depth 18"
+    # head is 'fc' for (Tiny-)ImageNet stems and 'linear' for CIFAR
+    # (preactresnet.py:104-111); absent names are skipped
+    m = {"conv1": ("Conv_0",), "bn1": ("BatchNorm_0",),  # 7x7 stem variant
+         "bn": ("BatchNorm_1",), "linear": ("Dense_0",),
+         "fc": ("Dense_0",)}
+    k = 0
+    in_planes = 64
+    for li, n in enumerate(_RESNET_LAYERS[18]):
+        planes = 64 * (2 ** li)
+        for i in range(n):
+            blk = f"PreActBlock_{k}"
+            k += 1
+            stride = 2 if (li > 0 and i == 0) else 1
+            proj = stride != 1 or in_planes != planes
+            in_planes = planes
+            base = f"layer{li + 1}.{i}"
+            m[f"{base}.bn1"] = (blk, "BatchNorm_0")
+            m[f"{base}.bn2"] = (blk, "BatchNorm_1")
+            if proj:
+                m[f"{base}.shortcut.0"] = (blk, "Conv_0")
+                m[f"{base}.conv1"] = (blk, "Conv_1")
+                m[f"{base}.conv2"] = (blk, "Conv_2")
+            else:
+                m[f"{base}.conv1"] = (blk, "Conv_0")
+                m[f"{base}.conv2"] = (blk, "Conv_1")
+    return m
+
+
+# dense layers whose INPUT is a flattened conv map: torch flattens NCHW
+# (c*H*W + h*W + w) while we flatten NHWC — remap the input rows.
+# Net2: conv2+pool leaves (C,H,W) = (64, 4, 4) at 28x28 input.
+_FLATTEN_REMAP = {"fc1": (64, 4, 4)}
+
+
+def mnist_name_map() -> dict:
+    return {"conv1": ("Conv_0",), "conv2": ("Conv_1",),
+            "fc1": ("Dense_0",), "fc2": ("Dense_1",)}
+
+
+def _leaf_arrays(state_dict, tname, kind):
+    """Extract flax leaves from the torch tensors of one module."""
+    out = {}
+    w = state_dict.get(tname + ".weight")
+    b = state_dict.get(tname + ".bias")
+    if kind == "conv":
+        out["kernel"] = np.asarray(w).transpose(2, 3, 1, 0)
+        if b is not None:
+            out["bias"] = np.asarray(b)
+    elif kind == "dense":
+        w = np.asarray(w)                       # (out, in)
+        leaf = tname.rsplit(".", 1)[-1]
+        if leaf in _FLATTEN_REMAP:
+            c, h, ww = _FLATTEN_REMAP[leaf]
+            idx = np.arange(c * h * ww)
+            ci, hi, wi = idx // (h * ww), (idx % (h * ww)) // ww, idx % ww
+            nhwc_pos = hi * (ww * c) + wi * c + ci
+            remap = np.zeros_like(w)
+            remap[:, nhwc_pos] = w[:, idx]
+            w = remap
+        out["kernel"] = w.T
+        if b is not None:
+            out["bias"] = np.asarray(b)
+    elif kind == "bn":
+        out["scale"] = np.asarray(w)
+        out["bias"] = np.asarray(b)
+        out["mean"] = np.asarray(state_dict[tname + ".running_mean"])
+        out["var"] = np.asarray(state_dict[tname + ".running_var"])
+    return out
+
+
+def convert(state_dict: dict, name_map: dict, params, batch_stats):
+    """Fill our (params, batch_stats) trees from a torch state_dict."""
+    import jax
+
+    by_path = {}
+    for tname, fpath in name_map.items():
+        if tname + ".weight" not in state_dict:
+            if tname + ".running_mean" not in state_dict:
+                continue                     # module absent (e.g. no proj)
+        w = state_dict.get(tname + ".weight")
+        if tname + ".running_mean" in state_dict:
+            kind = "bn"
+        elif w is not None and np.asarray(w).ndim == 4:
+            kind = "conv"
+        else:
+            kind = "dense"
+        for leaf_name, arr in _leaf_arrays(state_dict, tname, kind).items():
+            by_path[fpath + (leaf_name,)] = arr
+
+    matched = [0]
+
+    def fill(tree, stats: bool):
+        def pick(path, leaf):
+            keys = tuple(getattr(p, "key", str(p)) for p in path)
+            if keys in by_path:
+                arr = by_path[keys]
+                if arr.shape != leaf.shape:
+                    raise ValueError(f"{keys}: torch {arr.shape} vs "
+                                     f"flax {leaf.shape}")
+                matched[0] += 1
+                return arr.astype(np.asarray(leaf).dtype)
+            # BN param vs stat separation: stats tree wants mean/var only
+            return np.asarray(leaf)
+        return jax.tree_util.tree_map_with_path(pick, tree)
+
+    new_params = fill(params, stats=False)
+    new_stats = fill(batch_stats, stats=True)
+    return new_params, new_stats, matched[0]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("ckpt")
+    ap.add_argument("out_dir")
+    ap.add_argument("--arch", required=True)
+    ap.add_argument("--num-classes", type=int, required=True)
+    ap.add_argument("--cize", type=int, default=64)
+    ap.add_argument("--r", type=int, default=8)
+    ap.add_argument("--w", type=float, default=1.0)
+    ap.add_argument("--low", type=float, default=38.0)
+    ap.add_argument("--high", type=float, default=76.0)
+    ap.add_argument("--alpha", type=float, default=0.0)
+    ap.add_argument("--sigma", type=float, default=1.0)
+    ap.add_argument("--type-canny", default="CannyFilter_step125_1")
+    ap.add_argument("--epsilon", type=float, default=0.062745098)
+    ap.add_argument("--n-queries", type=int, default=1)
+    args = ap.parse_args()
+
+    import torch
+    payload = torch.load(args.ckpt, map_location="cpu", weights_only=False)
+    state_dict = payload.get("state_dict", payload)
+    # DataParallel prefix
+    state_dict = {k.removeprefix("module."): v for k, v in state_dict.items()}
+
+    import jax
+    import jax.numpy as jnp
+    from edge_enhancement_tpu.models.registry import build_model
+    from edge_enhancement_tpu.train import checkpoint as ckpt
+    from edge_enhancement_tpu.train.modelops import ModelOps
+    from edge_enhancement_tpu.train.trainer import create_train_state
+
+    margs = dict(r=args.r, w=args.w, gf=False, low=args.low, high=args.high,
+                 alpha=args.alpha, sigma=args.sigma,
+                 type_canny=args.type_canny, epsilon=args.epsilon,
+                 n_queries=args.n_queries, cize=args.cize)
+    ops = ModelOps(build_model(args.arch, margs, args.num_classes))
+    channels = 1 if args.arch.startswith("Net2") else 3
+    sample = jnp.zeros((1, args.cize, args.cize, channels), jnp.float32)
+    state = create_train_state(ops, jax.random.PRNGKey(0), sample)
+
+    import re
+    m = re.fullmatch(r"resnet(\d+).*", args.arch)
+    if m:
+        name_map = resnet_name_map(int(m.group(1)))
+    elif args.arch.startswith("PreActResNet"):
+        name_map = preact_name_map(18)
+    elif args.arch.startswith("Net2"):
+        name_map = mnist_name_map()
+    else:
+        raise SystemExit(f"no name map for arch {args.arch!r}")
+
+    params, stats, n = convert(state_dict, name_map, state.params,
+                               state.batch_stats)
+    state = state.replace(params=params, batch_stats=stats)
+    ckpt.save_checkpoint(args.out_dir, jax.device_get(state),
+                         int(payload.get("epoch", 0)),
+                         args.arch, float(payload.get("best_prec1", 0.0)),
+                         is_best=True)
+    print(f"converted {n} tensors -> {args.out_dir} "
+          f"(epoch {payload.get('epoch', 0)})")
+
+
+if __name__ == "__main__":
+    main()
