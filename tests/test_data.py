@@ -239,6 +239,27 @@ class TestStreamingImageFolder:
         assert x.shape == (2, 64, 64, 3)
 
 
+class TestJpegDecodeAPI:
+    def test_dims_and_explicit_box_decode(self, tmp_path):
+        """The lower-level decode API (explicit boxes, bytes in): dims from
+        the header, crop-box decode parity between the native and PIL
+        backends on a smooth image."""
+        from PIL import Image
+        yy, xx = np.mgrid[0:90, 0:120]
+        img = np.stack([yy * 2, xx * 2, yy + xx], -1).astype(np.uint8)
+        p = tmp_path / "a.JPEG"
+        Image.fromarray(img).save(p, quality=95)
+        data = p.read_bytes()
+        assert native.jpeg_dims(data) == (90, 120)
+        boxes = np.asarray([[5, 10, 60, 80]], np.int32)
+        got = native.decode_jpeg_batch([data], boxes, 48, 48)
+        with Image.open(p) as im:
+            ref = np.asarray(im.convert("RGB").crop((10, 5, 90, 65))
+                             .resize((48, 48), Image.BILINEAR))
+        assert got.shape == (1, 48, 48, 3)
+        assert np.abs(got[0].astype(int) - ref.astype(int)).mean() < 3.0
+
+
 class TestRandomResizedCrop:
     def test_shape_range_and_variation(self):
         from edge_enhancement_tpu.data.datasets import random_resized_crop_augment
