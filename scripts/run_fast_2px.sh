@@ -1,0 +1,14 @@
+#!/bin/bash
+# Fast (FGSM) AT, 3-phase progressive resize (reference run_fast_2px.sh):
+# each phase resumes from the previous phase's checkpoint, then the
+# evaluate config runs the PGD-50 battery (configs_fast_2px_evaluate.yml).
+DATA="${1:?usage: $0 <imagenet_root>}"
+OUT=output/fast_2px
+CFG=edge_enhancement_tpu/configs/fast_imagenet
+python train.py --config $CFG/fast_2px_phase1.yml --data "$DATA" --output $OUT/phase1
+python train.py --config $CFG/fast_2px_phase2.yml --data "$DATA" --output $OUT/phase2 \
+    --resume "$(ls -d $OUT/phase1/imagenet/*/ckpt | head -1)"
+python train.py --config $CFG/fast_2px_phase3.yml --data "$DATA" --output $OUT/phase3 \
+    --resume "$(ls -d $OUT/phase2/imagenet/*/ckpt | head -1)"
+python train.py --config $CFG/fast_2px_evaluate.yml --data "$DATA" \
+    --resume "$(ls -d $OUT/phase3/imagenet/*/ckpt | head -1)"
