@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from functools import partial
 from typing import Callable, Optional
 
 import jax
@@ -401,6 +400,7 @@ def build_autoattack(forward_fn: ForwardFn, *, epsilon: float,
     j_square = jax.jit(lambda x, y, k: square_attack(forward_fn, x, y, k,
                                                      sq_cfg))
     j_pred = jax.jit(lambda x, k: jnp.argmax(forward_fn(x, k), axis=-1))
+    j_order = jax.jit(lambda x, k: jnp.argsort(forward_fn(x, k), axis=-1))
 
     def suite(x, y, key):
         expand = (slice(None),) + (None,) * (x.ndim - 1)
@@ -417,10 +417,9 @@ def build_autoattack(forward_fn: ForwardFn, *, epsilon: float,
             key, k1, k2 = jax.random.split(key, 3)
             x_adv, still_ok = merge(x_adv, j_apgd_ce(x, y, k1), still_ok, k2)
 
-        targets = None
         if "apgd-t" in attacks_to_run or "fab-t" in attacks_to_run:
             key, k0 = jax.random.split(key)
-            order = jnp.argsort(forward_fn(x, k0), axis=-1)
+            order = j_order(x, k0)
 
         if "apgd-t" in attacks_to_run:
             for t in range(2, 2 + n_tc):

@@ -69,6 +69,11 @@ class ArrayDataset:
         n = len(self)
         rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
         idx = rng.permutation(n) if shuffle else np.arange(n)
+        if process_count > 1:
+            # every process MUST yield the same number of batches (each batch
+            # enters a cross-host sharded computation; a count mismatch
+            # deadlocks the collective) — truncate to a common multiple first
+            idx = idx[:n - (n % process_count)]
         idx = idx[process_index::process_count]
         stop = (len(idx) // batch_size) * batch_size if drop_last else len(idx)
         for s in range(0, stop, batch_size):
@@ -231,11 +236,14 @@ def rrc_box_from_draws(draws: np.ndarray, h: int, w: int) -> tuple[int, int, int
     fallback pipelines produce identical crops from the same draws."""
     area = h * w
     lr_lo, lr_hi = np.log(3 / 4), np.log(4 / 3)
+    # round half AWAY FROM ZERO (= C++ std::lround), NOT Python's banker's
+    # rounding — backend-identical boxes require identical rounding
+    rnd = lambda v: int(np.floor(v + 0.5))
     for t in range(10):
         target_area = (0.08 + float(draws[t * 4]) * 0.92) * area
         ratio = np.exp(lr_lo + float(draws[t * 4 + 1]) * (lr_hi - lr_lo))
-        bw = int(round(np.sqrt(target_area * ratio)))
-        bh = int(round(np.sqrt(target_area / ratio)))
+        bw = rnd(np.sqrt(target_area * ratio))
+        bh = rnd(np.sqrt(target_area / ratio))
         if 0 < bw <= w and 0 < bh <= h:
             by = int(float(draws[t * 4 + 2]) * (h - bh + 1))
             bx = int(float(draws[t * 4 + 3]) * (w - bw + 1))
@@ -248,9 +256,10 @@ def _eval_center_box(h: int, w: int, resize_to: int = 256,
                      crop: int = 224) -> tuple[int, int, int, int]:
     """Resize(short=resize_to) + CenterCrop(crop) as ONE original-resolution
     box: a centred (crop/resize_to)*short square (reference eval transform,
-    utils/data_loader.py:111-115; single resampling instead of two)."""
+    utils/data_loader.py:111-115; single resampling instead of two).
+    Half-away-from-zero rounding matches the C++ lround twin."""
     s = min(h, w)
-    side = max(1, int(round(s * crop / float(resize_to))))
+    side = max(1, int(np.floor(s * crop / float(resize_to) + 0.5)))
     return (h - side) // 2, (w - side) // 2, side, side
 
 
@@ -347,6 +356,9 @@ class StreamingImageFolder:
         n = len(self)
         rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
         idx = rng.permutation(n) if shuffle else np.arange(n)
+        if process_count > 1:
+            # equal per-process batch counts (see ArrayDataset.batches)
+            idx = idx[:n - (n % process_count)]
         idx = idx[process_index::process_count]
         stop = (len(idx) // batch_size) * batch_size if drop_last else len(idx)
         starts = list(range(0, stop, batch_size))
@@ -356,8 +368,13 @@ class StreamingImageFolder:
         slot = {}
 
         def produce(s, aug_rng):
-            slot[s] = self._load_batch(idx[s:s + batch_size].astype(np.int64),
-                                       aug_rng)
+            # exceptions are re-raised in the CONSUMER (a bare thread death
+            # would otherwise surface as an unrelated KeyError below)
+            try:
+                slot[s] = self._load_batch(
+                    idx[s:s + batch_size].astype(np.int64), aug_rng)
+            except BaseException as e:  # noqa: BLE001
+                slot[s] = e
 
         # one aug rng per batch, deterministically derived
         rngs = {s: np.random.default_rng(
@@ -370,7 +387,10 @@ class StreamingImageFolder:
                 nxt = starts[i + 1]
                 t = threading.Thread(target=produce, args=(nxt, rngs[nxt]))
                 t.start()
-            yield slot.pop(s)
+            item = slot.pop(s)
+            if isinstance(item, BaseException):
+                raise item
+            yield item
 
 
 # --------------------------------------------------------------------------

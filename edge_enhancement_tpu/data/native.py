@@ -20,24 +20,43 @@ _RUNTIME_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "runtime")
 
 
+def _build_runtime() -> bool:
+    try:
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "ee_runtime_build", os.path.join(_RUNTIME_DIR, "build.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.build(verbose=False)
+        return True
+    except Exception:
+        return False
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
     _TRIED = True
     so = os.path.join(_RUNTIME_DIR, "libeedata.so")
-    if not os.path.exists(so):
-        try:
-            import importlib.util
-            spec = importlib.util.spec_from_file_location(
-                "ee_runtime_build", os.path.join(_RUNTIME_DIR, "build.py"))
-            mod = importlib.util.module_from_spec(spec)
-            spec.loader.exec_module(mod)
-            mod.build(verbose=False)
-        except Exception:
-            return None
+    src = os.path.join(_RUNTIME_DIR, "eedata.cpp")
+    # (re)build when missing OR stale (an .so from an older source revision
+    # may lack newer symbols — binding them below would raise)
+    stale = (not os.path.exists(so)
+             or (os.path.exists(src)
+                 and os.path.getmtime(so) < os.path.getmtime(src)))
+    if stale and not _build_runtime():
+        return None
     try:
         lib = ctypes.CDLL(so)
+        if not hasattr(lib, "ee_stream_decode_files"):
+            # stale binary despite mtimes: rebuild once and reload (dlopen
+            # may cache the old handle in-process; verify before binding)
+            if not _build_runtime():
+                return None
+            lib = ctypes.CDLL(so)
+            if not hasattr(lib, "ee_stream_decode_files"):
+                return None
     except OSError:
         return None
 

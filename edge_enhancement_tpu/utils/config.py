@@ -66,6 +66,9 @@ def base_parser(description: str = "edge_enhancement_tpu trainer") -> argparse.A
     p.add_argument("--batch-size", dest="batch_size", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--restarts", type=int, default=None,
+                   help="PGD restarts for the validation battery "
+                        "(reference main_fast.py --restarts)")
     p.add_argument("--limit-batches", dest="limit_batches", type=int, default=None,
                    help="cap batches per epoch (smoke testing)")
     p.add_argument("--output", default="output", help="checkpoint/log root")

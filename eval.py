@@ -72,7 +72,8 @@ def main():
     def battery(attack, num_steps, step_size, label):
         es = build_eval_step(ops, EvalAttackConfig(
             attack, eps, num_steps, step_size,
-            bool(cfg.get("random", True)), spec.num_classes), mesh=mesh)
+            bool(cfg.get("random", True)), spec.num_classes,
+            restarts=int(cfg.get("restarts", 1))), mesh=mesh)
         c1, a1 = AverageMeter(), AverageMeter()
         key = jax.random.PRNGKey(999)
         for i, (x, y) in enumerate(val_ds.batches(bs, shuffle=False, seed=0)):

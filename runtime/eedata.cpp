@@ -226,7 +226,11 @@ int decode_one(const uint8_t* data, int64_t len, int32_t by, int32_t bx,
     EeJpegErr jerr;
     cinfo.err = jpeg_std_error(&jerr.pub);
     jerr.pub.error_exit = ee_jpeg_error_exit;
-    std::vector<uint8_t> buf;  // scaled crop rows, RGB
+    // every buffer that is live across a libjpeg call is constructed BEFORE
+    // setjmp: error_exit longjmps here, and jumping over a vector's lifetime
+    // would skip its destructor (leak + UB)
+    std::vector<uint8_t> buf;     // scaled crop rows, RGB
+    std::vector<uint8_t> rowbuf;  // discard buffer for rows above the box
     if (setjmp(jerr.jump)) {
         jpeg_destroy_decompress(&cinfo);
         return 1;
@@ -266,7 +270,7 @@ int decode_one(const uint8_t* data, int64_t len, int32_t by, int32_t bx,
     cbh = std::min(cbh, sh - cby); cbw = std::min(cbw, sw - cbx);
 
     buf.resize((size_t)cbh * sw * 3);
-    std::vector<uint8_t> rowbuf((size_t)sw * 3);
+    rowbuf.resize((size_t)sw * 3);
     JSAMPROW rowptr[1];
     int64_t row = 0;
     while (cinfo.output_scanline < cinfo.output_height) {
@@ -351,8 +355,9 @@ void rrc_box(const float* d, int64_t h, int64_t w, int32_t* box) {
         const int64_t bw = (int64_t)std::lround(std::sqrt(target_area * ratio));
         const int64_t bh = (int64_t)std::lround(std::sqrt(target_area / ratio));
         if (bw > 0 && bw <= w && bh > 0 && bh <= h) {
-            box[0] = (int32_t)(d[t * 4 + 2] * (h - bh + 1));
-            box[1] = (int32_t)(d[t * 4 + 3] * (w - bw + 1));
+            // double precision: the Python twin computes f64(draw) * int
+            box[0] = (int32_t)((double)d[t * 4 + 2] * (double)(h - bh + 1));
+            box[1] = (int32_t)((double)d[t * 4 + 3] * (double)(w - bw + 1));
             box[2] = (int32_t)bh;
             box[3] = (int32_t)bw;
             return;

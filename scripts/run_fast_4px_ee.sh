@@ -10,5 +10,5 @@ python train.py --config $CFG/fast_4px_phase2_ee.yml --data "$DATA" --output $OU
     --resume "$(ls -d $OUT/phase1/imagenet/*/ckpt | head -1)"
 python train.py --config $CFG/fast_4px_phase3_ee.yml --data "$DATA" --output $OUT/phase3 \
     --resume "$(ls -d $OUT/phase2/imagenet/*/ckpt | head -1)"
-python train.py --config $CFG/fast_4px_evaluate_ee.yml --data "$DATA" \
+python train.py --config $CFG/fast_4px_evaluate_ee.yml --data "$DATA" --restarts 10 \
     --resume "$(ls -d $OUT/phase3/imagenet/*/ckpt | head -1)"

@@ -276,7 +276,8 @@ def main():
         targeted="tar" in cfg["method_name"],
         pre_square="pre_square" in cfg["method_name"],
         square_epsilon=float(cfg.get("epsilon", 0.05)),
-        square_n_queries=int(cfg.get("n_queries", 1)))
+        square_n_queries=int(cfg.get("n_queries", 1)),
+        restarts=int(cfg.get("restarts", 1)))
     eval_atk = EvalAttackConfig(
         attack_method=str(cfg.get("attack_method", "PGD")),
         epsilon=float(cfg.get("epsilon", 8 / 255)),
