@@ -71,24 +71,48 @@ def main():
                         epsilon=0.062745098039216, num_steps=10,
                         step_size=0.007843137254902,
                         num_classes=spec.num_classes)
-    step = build_train_step(ops, mcfg, OptimConfig(momentum=0.9,
-                                                   weight_decay=2e-4),
-                            mesh=mesh, donate=True)
+    opt = OptimConfig(momentum=0.9, weight_decay=2e-4)
+    # device-side multi-step loop (train.py steps_per_dispatch): K steps per
+    # dispatch — identical math, 1/K of the ~7 ms/launch remote-dispatch
+    # overhead (docs/PERF.md). EE_BENCH_CHAIN=1 restores per-step dispatch.
+    chain = int(os.environ.get("EE_BENCH_CHAIN", 5))
+    if chain > 1:
+        from edge_enhancement_tpu.train.trainer import \
+            build_chained_train_step
+        step = build_chained_train_step(ops, mcfg, opt, mesh=mesh,
+                                        donate=True)
+    else:
+        step = build_train_step(ops, mcfg, opt, mesh=mesh, donate=True)
 
     ds = synthetic_dataset(spec, batch_size * 2, seed=0)
     x, y = next(ds.batches(batch_size, shuffle=False, seed=0))
     state = create_train_state(ops, jax.random.PRNGKey(0),
                                jnp.asarray(x[:1]))
     state = meshlib.replicate(mesh, state)
-    xb, yb = meshlib.shard_batch(mesh, (x, y))
     lr = jnp.float32(0.1)
     key = jax.random.PRNGKey(1)
+    if chain > 1:
+        xs = np.broadcast_to(x, (chain,) + x.shape).copy()
+        ys = np.broadcast_to(y, (chain,) + y.shape).copy()
+        xb, yb = meshlib.shard_batch_stacked(mesh, (xs, ys))
+
+        def run_once(state, key):
+            key, k = jax.random.split(key)
+            keys = jax.random.split(k, chain)
+            state, m = step(state, xb, yb, keys, lr)
+            return state, m, key
+    else:
+        xb, yb = meshlib.shard_batch(mesh, (x, y))
+
+        def run_once(state, key):
+            key, k = jax.random.split(key)
+            state, m = step(state, xb, yb, k, lr)
+            return state, m, key
 
     # Warmup with a REAL host transfer: on the experimental axon platform
     # block_until_ready returns early — only device_get truly synchronises
     # (it also absorbs the hidden remote first-execution compile).
-    key, k = jax.random.split(key)
-    state, m = step(state, xb, yb, k, lr)
+    state, m, key = run_once(state, key)
     float(jax.device_get(m["loss"]))
 
     # Timed segments, each ended by a true device_get sync.
@@ -96,10 +120,9 @@ def main():
     for _ in range(n_segs):
         t0 = time.perf_counter()
         for _ in range(seg):
-            key, k = jax.random.split(key)
-            state, m = step(state, xb, yb, k, lr)
+            state, m, key = run_once(state, key)
         float(jax.device_get(m["loss"]))
-        times.append((time.perf_counter() - t0) / seg)
+        times.append((time.perf_counter() - t0) / (seg * chain))
     dt = sorted(times)[len(times) // 2]
 
     img_per_sec = batch_size / dt

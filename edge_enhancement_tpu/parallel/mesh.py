@@ -54,6 +54,16 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
         lambda a: jax.make_array_from_process_local_data(sh, a), batch)
 
 
+def shard_batch_stacked(mesh: Mesh, batch: Any) -> Any:
+    """Like shard_batch for [chain, batch, ...] stacks (the device-side
+    multi-step loop): dim 0 is the scan axis, dim 1 shards over 'data'."""
+    sh = NamedSharding(mesh, P(None, "data"))
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda a: jax.device_put(a, sh), batch)
+    return jax.tree.map(
+        lambda a: jax.make_array_from_process_local_data(sh, a), batch)
+
+
 def replicate(mesh: Mesh, tree: Any) -> Any:
     sh = replicated(mesh)
     return jax.tree.map(lambda a: jax.device_put(a, sh), tree)

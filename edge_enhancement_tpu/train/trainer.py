@@ -84,6 +84,48 @@ def build_train_step(ops: ModelOps, method: MethodConfig, opt: OptimConfig,
                    out_shardings=(st_sh, rep), **donate_kw)
 
 
+def build_chained_train_step(ops: ModelOps, method: MethodConfig,
+                             opt: OptimConfig, mesh=None,
+                             donate: bool = False,
+                             state_sharding=None) -> Callable:
+    """K train steps per device dispatch: step(state, xs, ys, keys, lr) with
+    xs/ys stacked on a leading `chain` axis (K = xs.shape[0]), one `lax.scan`
+    over the stack — the math
+    is identical to `chain` sequential build_train_step calls, but the host
+    pays ONE dispatch for K steps. On remote-dispatch platforms (axon: ~7 ms
+    per program launch) this is the difference between host-bound and
+    device-bound small-batch training (docs/PERF.md). Returns
+    (new_state, metrics-of-last-step)."""
+    objective = Objective(ops, method)
+
+    def step_fn(state: TrainState, xs, ys, keys, lr):
+        def one(st: TrainState, batch):
+            x, y, key = batch
+            (loss, (bs, logits)), grads = jax.value_and_grad(
+                objective.loss, has_aux=True)(st.params, st.batch_stats,
+                                              x, y, key)
+            new_params, new_buf = sgd_update(
+                st.params, grads, st.momentum_buf, lr=lr,
+                momentum=opt.momentum, weight_decay=opt.weight_decay)
+            metrics = {"loss": loss, **topk_accuracy(logits, y)}
+            return TrainState(params=new_params, batch_stats=bs,
+                              momentum_buf=new_buf, step=st.step + 1), metrics
+
+        state, metrics = jax.lax.scan(one, state, (xs, ys, keys))
+        return state, jax.tree.map(lambda m: m[-1], metrics)
+
+    donate_kw = {"donate_argnums": (0,)} if donate else {}
+    if mesh is None:
+        return jax.jit(step_fn, **donate_kw)
+    rep = meshlib.replicated(mesh)
+    # batch axis is dim 1 of the [chain, batch, ...] stacks
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    dat = NamedSharding(mesh, P(None, "data"))
+    st_sh = state_sharding if state_sharding is not None else rep
+    return jax.jit(step_fn, in_shardings=(st_sh, dat, dat, rep, rep),
+                   out_shardings=(st_sh, rep), **donate_kw)
+
+
 @dataclasses.dataclass(frozen=True)
 class EvalAttackConfig:
     """Validation attack battery entry (reference validate(), e.g.

@@ -66,6 +66,10 @@ def base_parser(description: str = "edge_enhancement_tpu trainer") -> argparse.A
     p.add_argument("--batch-size", dest="batch_size", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--steps-per-dispatch", dest="steps_per_dispatch",
+                   type=int, default=None,
+                   help="device-side multi-step loop: K train steps per "
+                        "dispatch (lax.scan over a batch stack)")
     p.add_argument("--restarts", type=int, default=None,
                    help="PGD restarts for the validation battery "
                         "(reference main_fast.py --restarts)")

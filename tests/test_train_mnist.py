@@ -177,6 +177,44 @@ class TestEvalProtocol:
         assert tar_init_policy("tar_at", False) == "none"
 
 
+class TestChainedStep:
+    def test_chained_equals_sequential(self, mnist_state):
+        """K steps per dispatch (lax.scan over a batch stack) must produce
+        the same state as K sequential single-step dispatches given the same
+        per-step keys."""
+        from edge_enhancement_tpu.train.trainer import \
+            build_chained_train_step
+        ops, _ = mnist_state
+        x, y = make_batch(bs=24)
+        xs = np.stack([np.asarray(x[i * 8:(i + 1) * 8]) for i in range(3)])
+        ys = np.stack([np.asarray(y[i * 8:(i + 1) * 8]) for i in range(3)])
+        keys = jax.random.split(jax.random.PRNGKey(40), 3)
+        mcfg = MethodConfig(method_name="AT", epsilon=0.3, num_steps=2,
+                            step_size=0.1, num_classes=10)
+        opt = OptimConfig(momentum=0.9, weight_decay=1e-4)
+
+        s1 = create_train_state(ops, jax.random.PRNGKey(41), x[:1])
+        step1 = build_train_step(ops, mcfg, opt)
+        for i in range(3):
+            s1, m1 = step1(s1, jnp.asarray(xs[i]), jnp.asarray(ys[i]),
+                           keys[i], jnp.float32(0.1))
+
+        s2 = create_train_state(ops, jax.random.PRNGKey(41), x[:1])
+        stepK = build_chained_train_step(ops, mcfg, opt)
+        s2, m2 = stepK(s2, jnp.asarray(xs), jnp.asarray(ys), keys,
+                       jnp.float32(0.1))
+
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                                   rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+        for a, b in zip(jax.tree.leaves(s1.batch_stats),
+                        jax.tree.leaves(s2.batch_stats)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+
+
 class TestDataParallel:
     def test_step_on_8_device_mesh(self, mnist_state):
         ops, _ = mnist_state

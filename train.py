@@ -36,6 +36,7 @@ from edge_enhancement_tpu.train import checkpoint as ckpt
 from edge_enhancement_tpu.train.modelops import ModelOps
 from edge_enhancement_tpu.train import schedules
 from edge_enhancement_tpu.train.trainer import (EvalAttackConfig, OptimConfig,
+                                                build_chained_train_step,
                                                 build_eval_step,
                                                 build_train_step,
                                                 create_train_state)
@@ -307,11 +308,34 @@ def main():
     batch_size = int(cfg["batch_size"]) // jax.process_count()
     limit = cfg.get("limit_batches")
     key = jax.random.PRNGKey(seed)
+    # device-side multi-step loop: K steps per dispatch (lax.scan over a
+    # batch stack) — identical math, 1/K of the host dispatch overhead
+    # (docs/PERF.md; ~7 ms/launch on remote-dispatch platforms). AWP keeps
+    # per-batch LR stepping, so it stays on the single-step path.
+    spd = max(int(cfg.get("steps_per_dispatch", 1)), 1)
+    chained_step = None
+    if awp_warmup is None and spd > 1:
+        chained_step = build_chained_train_step(ops, mcfg, opt, mesh=mesh,
+                                                donate=True)
     for epoch in range(start_epoch, int(cfg["epochs"])):
         lr = epoch_lr(cfg, epoch)
         bt, dt, losses, top1, top5 = (AverageMeter() for _ in range(5))
         n_batches = len(train_ds) // (batch_size * jax.process_count())
         end = time.time()
+        pending = []  # buffered host batches for the chained dispatch
+
+        def flush_chain(state, key):
+            xs = np.stack([b[0] for b in pending])
+            ys = np.stack([b[1] for b in pending])
+            key, k = jax.random.split(key)
+            keys = jax.random.split(k, len(pending))
+            xb, yb = meshlib.shard_batch_stacked(mesh, (xs, ys))
+            state, metrics = chained_step(state, xb, yb, keys,
+                                          jnp.float32(lr))
+            pending.clear()
+            return state, metrics, key
+
+        metrics = None
         for i, (x, y) in enumerate(train_ds.batches(
                 batch_size, shuffle=True, seed=seed, epoch=epoch,
                 process_index=jax.process_index(),
@@ -321,14 +345,20 @@ def main():
             dt.update(time.time() - end)
             if cfg.get("profile") and epoch == start_epoch and i == 1:
                 jax.profiler.start_trace(cfg["profile"])
-            key, k = jax.random.split(key)
-            xb, yb = meshlib.shard_batch(mesh, (x, y))
-            if awp_warmup is None:
+            if chained_step is not None:
+                pending.append((x, y))
+                if len(pending) == spd:
+                    state, metrics, key = flush_chain(state, key)
+            elif awp_warmup is None:
+                key, k = jax.random.split(key)
+                xb, yb = meshlib.shard_batch(mesh, (x, y))
                 state, metrics = train_step(state, xb, yb, k, jnp.float32(lr))
             else:
                 # AWP drivers step the LR every minibatch at the fractional
                 # epoch (experiments_cifar100_awp.py: adjust_learning_rate_1(
                 # optimizer, epoch + (i+1)/len(train_loader), ...))
+                key, k = jax.random.split(key)
+                xb, yb = meshlib.shard_batch(mesh, (x, y))
                 lr_b = epoch_lr(cfg, epoch + (i + 1) / max(n_batches, 1))
                 awp_on = jnp.float32(1.0 if epoch >= awp_warmup else 0.0)
                 state, metrics = train_step(state, xb, yb, k, jnp.float32(lr_b),
@@ -337,7 +367,7 @@ def main():
                 jax.device_get(metrics)  # true sync before stopping the trace
                 jax.profiler.stop_trace()
                 log(f"=> profiler trace written to {cfg['profile']}")
-            if i % int(cfg.get("print_freq", 50)) == 0:
+            if i % int(cfg.get("print_freq", 50)) == 0 and metrics is not None:
                 m = jax.device_get(metrics)
                 losses.update(m["loss"], len(y))
                 top1.update(m["top1"], len(y)); top5.update(m["top5"], len(y))
@@ -346,6 +376,9 @@ def main():
             else:
                 bt.update(time.time() - end)
             end = time.time()
+        # tail batches shorter than a full chain run one final scan
+        if chained_step is not None and pending:
+            state, metrics, key = flush_chain(state, key)
 
         prec1, _ = run_validation(log, eval_step, mesh, state, val_ds, cfg,
                                   num_steps=int(cfg.get("num_steps_1", 10)),
