@@ -171,34 +171,59 @@ def load_cifar100(root: str, train: bool) -> ArrayDataset:
     return ArrayDataset(imgs, labels, augment=cifar_augment if train else None)
 
 
+def _decode_files_to_array(paths: list, image_size: int) -> np.ndarray:
+    """Decode image files to one (N, S, S, 3) uint8 array.
+
+    JPEGs go through the multithreaded native runtime in chunks (a Tiny-
+    ImageNet-scale folder is 100k files — single-threaded PIL cold-start
+    dominated short real-data runs); any chunk the native path cannot handle
+    (PNGs, truncated files, no libjpeg) falls back to PIL file-by-file."""
+    out = np.empty((len(paths), image_size, image_size, 3), np.uint8)
+    chunk = 8192
+    for lo in range(0, len(paths), chunk):
+        sub = paths[lo:lo + chunk]
+        got = None
+        if all(p.lower().endswith((".jpeg", ".jpg")) for p in sub):
+            got = native.stream_decode_files(
+                sub, mode=0, draws=None, eval_resize=0, eval_crop=0,
+                oh=image_size, ow=image_size, flip_flags=None)
+        if got is not None:
+            out[lo:lo + len(sub)] = got
+            continue
+        from PIL import Image
+        for i, p in enumerate(sub):
+            with Image.open(p) as im:
+                im = im.convert("RGB")
+                if im.size != (image_size, image_size):
+                    im = im.resize((image_size, image_size), Image.BILINEAR)
+                out[lo + i] = np.asarray(im, np.uint8)
+    return out
+
+
 def load_image_folder(root: str, image_size: int, augment=None,
                       class_to_idx: Optional[dict] = None) -> ArrayDataset:
-    """ImageFolder: root/<class>/*.JPEG, decoded with PIL, resized to
-    image_size (Tiny-ImageNet ships at 64x64 already)."""
-    from PIL import Image
+    """ImageFolder: root/<class>/*.JPEG, decoded through the native runtime
+    (PIL fallback), resized to image_size (Tiny-ImageNet ships at 64x64
+    already, where the resize is an exact identity)."""
     classes = sorted(d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d)))
     if class_to_idx is None:
         class_to_idx = {c: i for i, c in enumerate(classes)}
-    imgs, labels = [], []
+    paths, labels = [], []
     for c in classes:
         cdir = os.path.join(root, c)
         for dirpath, _, files in os.walk(cdir):
             for fn in sorted(files):
                 if not fn.lower().endswith((".jpeg", ".jpg", ".png")):
                     continue
-                with Image.open(os.path.join(dirpath, fn)) as im:
-                    im = im.convert("RGB")
-                    if im.size != (image_size, image_size):
-                        im = im.resize((image_size, image_size), Image.BILINEAR)
-                    imgs.append(np.asarray(im, np.uint8))
+                paths.append(os.path.join(dirpath, fn))
                 labels.append(class_to_idx[c])
-    return ArrayDataset(np.stack(imgs), np.asarray(labels), augment=augment)
+    return ArrayDataset(_decode_files_to_array(paths, image_size),
+                        np.asarray(labels), augment=augment)
 
 
 def load_tiny_imagenet_val(root: str, image_size: int) -> ArrayDataset:
     """Raw Tiny-ImageNet val split: val/images/*.JPEG labelled by
     val_annotations.txt (tab-separated: filename, wnid, bbox...)."""
-    from PIL import Image
     train_dir = os.path.join(root, "train")
     classes = sorted(d for d in os.listdir(train_dir)
                      if os.path.isdir(os.path.join(train_dir, d)))
@@ -210,18 +235,15 @@ def load_tiny_imagenet_val(root: str, image_size: int) -> ArrayDataset:
             parts = line.strip().split("\t")
             if len(parts) >= 2:
                 ann[parts[0]] = class_to_idx[parts[1]]
-    imgs, labels = [], []
+    paths, labels = [], []
     img_dir = os.path.join(val_dir, "images")
     for fn in sorted(os.listdir(img_dir)):
         if fn not in ann:
             continue
-        with Image.open(os.path.join(img_dir, fn)) as im:
-            im = im.convert("RGB")
-            if im.size != (image_size, image_size):
-                im = im.resize((image_size, image_size), Image.BILINEAR)
-            imgs.append(np.asarray(im, np.uint8))
+        paths.append(os.path.join(img_dir, fn))
         labels.append(ann[fn])
-    return ArrayDataset(np.stack(imgs), np.asarray(labels))
+    return ArrayDataset(_decode_files_to_array(paths, image_size),
+                        np.asarray(labels))
 
 
 # --------------------------------------------------------------------------

@@ -239,6 +239,35 @@ class TestStreamingImageFolder:
         assert x.shape == (2, 64, 64, 3)
 
 
+class TestImageFolderNativeDecode:
+    def test_folder_loader_matches_pil(self, tmp_path):
+        """load_image_folder's native batch-decode path agrees with a direct
+        PIL decode (IFAST vs ISLOW IDCT allows tiny per-pixel deviation; at
+        the shipped 64x64 size the resize itself is an exact identity)."""
+        from PIL import Image
+        from edge_enhancement_tpu.data.datasets import load_image_folder
+        _make_image_folder(tmp_path, n_classes=2, per_class=3, size=(64, 64))
+        ds = load_image_folder(str(tmp_path), 64)
+        assert ds.images.shape == (6, 64, 64, 3)
+        paths = sorted(tmp_path.glob("*/*.JPEG"))
+        refs = np.stack([np.asarray(Image.open(p).convert("RGB"), np.uint8)
+                         for p in paths])
+        diff = np.abs(ds.images.astype(int) - refs.astype(int))
+        # random-noise JPEGs are the IDCT worst case: measured mean ~1.25,
+        # max 6 at quality 92; natural images sit well under this
+        assert diff.mean() < 2.0 and diff.max() <= 8
+
+    def test_png_falls_back_to_pil(self, tmp_path):
+        from PIL import Image
+        from edge_enhancement_tpu.data.datasets import load_image_folder
+        d = tmp_path / "n000"
+        d.mkdir(parents=True)
+        arr = np.arange(64 * 64 * 3, dtype=np.uint8).reshape(64, 64, 3)
+        Image.fromarray(arr).save(d / "a.png")
+        ds = load_image_folder(str(tmp_path), 64)
+        np.testing.assert_array_equal(ds.images[0], arr)  # png decode is exact
+
+
 class TestJpegDecodeAPI:
     def test_dims_and_explicit_box_decode(self, tmp_path):
         """The lower-level decode API (explicit boxes, bytes in): dims from
