@@ -75,7 +75,7 @@ def main():
     # device-side multi-step loop (train.py steps_per_dispatch): K steps per
     # dispatch — identical math, 1/K of the ~7 ms/launch remote-dispatch
     # overhead (docs/PERF.md). EE_BENCH_CHAIN=1 restores per-step dispatch.
-    chain = int(os.environ.get("EE_BENCH_CHAIN", 10))
+    chain = int(os.environ.get("EE_BENCH_CHAIN", 40))
     if chain > 1:
         from edge_enhancement_tpu.train.trainer import \
             build_chained_train_step

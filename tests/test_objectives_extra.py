@@ -94,6 +94,54 @@ class TestAWP:
         assert d > 0
 
 
+class TestFreeFastDriver:
+    def _cfg(self, tmp_path):
+        return {
+            "method_name": "free_AT", "dataset": "mnist", "arch": "Net_2",
+            "epochs": 4, "n_repeats": 2, "batch_size": 8, "cize": 28,
+            "lr": 0.1, "momentum": 0.9, "weight_decay": 1e-4,
+            "fgsm_step": 4.0, "clip_eps": 4.0, "seed": 1,
+            "num_steps_1": 1, "step_size_1": 1 / 255, "epsilon": 4 / 255,
+            "limit_batches": 1, "print_freq": 1,
+            "output": str(tmp_path),
+        }
+
+    def test_resume_continues_at_checkpoint_epoch(self, tmp_path):
+        """Free-AT resume must continue the epoch loop where the checkpoint
+        left off (reference AT_free_imagenet_ddp.py restores start_epoch),
+        not restart at 0."""
+        from edge_enhancement_tpu.data.datasets import SPECS, synthetic_dataset
+        from edge_enhancement_tpu.parallel import mesh as meshlib
+        from edge_enhancement_tpu.train import checkpoint as ckpt
+        import train as train_mod
+
+        cfg = self._cfg(tmp_path)
+        ops = ModelOps(net2())
+        mesh = meshlib.make_mesh()
+        ds = synthetic_dataset(SPECS["mnist"], 16, seed=0)
+        state = create_train_state(ops, jax.random.PRNGKey(1),
+                                   jnp.zeros((1, 28, 28, 1)))
+        state = meshlib.replicate(mesh, state)
+        lines = []
+        out_dir = str(tmp_path / "run")
+        # epochs=4 / n_repeats=2 -> 2 loop epochs trained
+        train_mod.run_free_fast(cfg, ops, mesh, state, ds, ds, lines.append,
+                                out_dir, 10)
+        assert any("Epoch: [0]" in l for l in lines)
+        assert any("Epoch: [1]" in l for l in lines)
+        payload = ckpt.load_checkpoint(os.path.join(out_dir, "ckpt"))
+        assert payload["meta"]["epoch"] == 2
+        assert "noise" in payload["extra"]
+
+        # resume at the stored epoch: nothing left to train
+        cfg2 = dict(cfg, resume=os.path.join(out_dir, "ckpt"))
+        lines2 = []
+        train_mod.run_free_fast(cfg2, ops, mesh, state, ds, ds, lines2.append,
+                                out_dir, 10,
+                                start_epoch=payload["meta"]["epoch"])
+        assert not any("Epoch: [" in l for l in lines2)
+
+
 class TestAnalysis:
     REF_LOG = ("/root/reference/Tiny_ImageNet/checkpoint_Tiny_ImageNet/"
                "EE_BPDA3_AT_square/resnet18_EE_square-bs100-lr0.1-momentum0.9"

@@ -105,7 +105,7 @@ def run_validation(log, eval_step, mesh, state, ds, cfg, *, num_steps, step_size
 
 
 def run_free_fast(cfg, ops, mesh, state, train_ds, val_ds, log, out_dir,
-                  num_classes):
+                  num_classes, start_epoch=0):
     """Free/fast-AT epoch loop (reference AT_*_free_imagenet_ddp.py:284-337,
     main_fast.py:200-288). Free: persistent noise, epochs/n_repeats, scaled
     step-30 LR. Fast: per-batch noise re-init, cyclic LR per minibatch."""
@@ -138,7 +138,6 @@ def run_free_fast(cfg, ops, mesh, state, train_ds, val_ds, log, out_dir,
             if saved_noise.shape == noise_host.shape:
                 noise_host = saved_noise
     noise = meshlib.shard_batch(mesh, noise_host)
-    start_epoch = int(cfg.get("start_epoch", 0))
     epochs = int(math.ceil(int(cfg["epochs"]) / n_repeats)) if not fast \
         else int(cfg["epochs"])
     limit = cfg.get("limit_batches")
@@ -152,7 +151,10 @@ def run_free_fast(cfg, ops, mesh, state, train_ds, val_ds, log, out_dir,
         float(cfg.get("step_size_1", 1 / 255)),
         True, num_classes), mesh=mesh)
 
-    for epoch in range(start_epoch if fast else 0, epochs):
+    # resume continues at the checkpoint epoch (free: in replay-divided
+    # units, matching what save_checkpoint below stored; fast: the phase
+    # configs' start_epoch — main() already reconciled cfg vs checkpoint)
+    for epoch in range(start_epoch, epochs):
         bt, dt, losses, top1, top5 = (AverageMeter() for _ in range(5))
         end = time.time()
         for i, (x, y) in enumerate(train_ds.batches(
@@ -256,7 +258,7 @@ def main():
     # only, reference main_fast.py configs.evaluate path).
     if cfg["method_name"] in ("free_AT", "fast_AT") and not cfg.get("evaluate"):
         return run_free_fast(cfg, ops, mesh, state, train_ds, val_ds, log,
-                             out_dir, num_classes)
+                             out_dir, num_classes, start_epoch=start_epoch)
 
     awp_warmup = None
     if cfg.get("awp_gamma") is not None:
