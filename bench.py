@@ -39,7 +39,9 @@ def main():
     # TinyIN ResNet18_EE_square workload.
     workload = os.environ.get("EE_BENCH_WORKLOAD", "tinyin_r18")
     if workload == "imagenet_r50":
-        batch_size = int(os.environ.get("EE_BENCH_BATCH", 64))
+        # bs sweep (bf16, rolled loop): 32 -> 260.7, 64 -> 249.9,
+        # 128 -> 286.3, 256 -> 274.4 img/s (docs/PERF.md)
+        batch_size = int(os.environ.get("EE_BENCH_BATCH", 128))
         spec = SPECS["imagenet"]
         arch = "resnet50_EE"
         metric = "imagenet_resnet50_ee_pgd10_at_throughput"
@@ -70,12 +72,18 @@ def main():
     mcfg = MethodConfig(method_name="EE_BPDA3_AT_square",
                         epsilon=0.062745098039216, num_steps=10,
                         step_size=0.007843137254902,
-                        num_classes=spec.num_classes)
+                        num_classes=spec.num_classes,
+                        # rolled attack loop wins at 224x224 (docs/PERF.md)
+                        attack_unroll=1 if workload == "imagenet_r50" else None)
     opt = OptimConfig(momentum=0.9, weight_decay=2e-4)
     # device-side multi-step loop (train.py steps_per_dispatch): K steps per
     # dispatch — identical math, 1/K of the ~7 ms/launch remote-dispatch
     # overhead (docs/PERF.md). EE_BENCH_CHAIN=1 restores per-step dispatch.
-    chain = int(os.environ.get("EE_BENCH_CHAIN", 40))
+    # 40 amortizes the ~7 ms launch into the 12-ms TinyIN step; the 224px
+    # R50 step is ~250 ms, so chaining buys nothing and a deep 224px input
+    # stack just wastes HBM.
+    chain = int(os.environ.get("EE_BENCH_CHAIN",
+                               40 if workload != "imagenet_r50" else 1))
     if chain > 1:
         from edge_enhancement_tpu.train.trainer import \
             build_chained_train_step

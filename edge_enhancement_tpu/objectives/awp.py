@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..attacks.pgd import PGDConfig, pgd_linf
+from .methods import _unroll
 from ..parallel import mesh as meshlib
 from ..train.modelops import ModelOps, cross_entropy, topk_accuracy
 from ..train.sgd import sgd_update
@@ -79,7 +80,7 @@ def build_awp_train_step(ops: ModelOps, method: MethodConfig, opt: OptimConfig,
 
         pcfg = PGDConfig(method.epsilon, method.num_steps, method.step_size,
                          random_init=("uniform" if method.random else "none"),
-                         unroll=max(1, min(method.num_steps, 10)))
+                         unroll=_unroll(method.num_steps, method.attack_unroll))
         x_adv, bs = pgd_linf(attack_loss(sg_params, y), x, key_atk, pcfg,
                              aux=state.batch_stats)
         x_adv = jax.lax.stop_gradient(x_adv)

@@ -24,6 +24,7 @@ Parity notes (semantics copied from the reference drivers, NOT the code):
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Optional
 
 import jax
@@ -54,13 +55,25 @@ class MethodConfig:
     square_epsilon: float = 0.05
     square_n_queries: int = 1
     square_size: int = 64
+    # attack-loop unroll cap (None -> policy default; config key
+    # `attack_unroll`). Resolution-dependent: full unroll measured +14% at
+    # 64x64 but ~2% SLOWER at 224x224, where the unrolled buffers crowd HBM
+    # (docs/PERF.md).
+    attack_unroll: Optional[int] = None
 
 
-def _unroll(num_steps: int) -> int:
+def _unroll(num_steps: int, cap: Optional[int] = None) -> int:
     """Attack-loop unroll policy: full unroll measured +14% on TPU for
-    PGD-10 (while-loops block cross-iteration scheduling); cap at 10 to
-    bound compile time for PGD-40/100 loops."""
-    return max(1, min(num_steps, 10))
+    PGD-10 at 64x64 (while-loops block cross-iteration scheduling); cap at
+    10 to bound compile time for PGD-40/100 loops. At 224x224 the rolled
+    loop wins — pass cap=1 (config `attack_unroll`). EE_ATTACK_UNROLL
+    overrides both (perf experiments; docs/PERF.md)."""
+    env = os.environ.get("EE_ATTACK_UNROLL")
+    if env:
+        cap = int(env)
+    elif cap is None:
+        cap = 10
+    return max(1, min(num_steps, cap))
 
 
 def canonical_method(name: str) -> str:
@@ -171,7 +184,7 @@ class Objective:
         pcfg = PGDConfig(epsilon=cfg.epsilon, num_steps=cfg.num_steps,
                          step_size=cfg.step_size, random_init=init,
                          prob_start_from_clean=cfg.prob_start_from_clean,
-                         ascend=ascend, unroll=_unroll(cfg.num_steps))
+                         ascend=ascend, unroll=_unroll(cfg.num_steps, cfg.attack_unroll))
         x_adv, bs = pgd_linf(self._train_ce_sum(sg_params, attack_labels),
                              x, key_atk, pcfg, aux=batch_stats)
         x_adv = jax.lax.stop_gradient(x_adv)
@@ -193,12 +206,12 @@ class Objective:
             tgt = random_targets(key_tgt, y, cfg.num_classes)
             pcfg = PGDConfig(cfg.epsilon, cfg.num_steps, cfg.step_size,
                              random_init="gaussian", ascend=False,
-                             unroll=_unroll(cfg.num_steps))
+                             unroll=_unroll(cfg.num_steps, cfg.attack_unroll))
             attack = self._eval_ce(sg_params, bs1, tgt)
         else:
             pcfg = PGDConfig(cfg.epsilon, cfg.num_steps, cfg.step_size,
                              random_init="gaussian", ascend=True,
-                             unroll=_unroll(cfg.num_steps))
+                             unroll=_unroll(cfg.num_steps, cfg.attack_unroll))
             attack = self._eval_ce(sg_params, bs1, y)
         x_adv, _ = pgd_linf(attack, x, key_atk, pcfg, aux=None)
         x_adv = jax.lax.stop_gradient(x_adv)
@@ -220,7 +233,7 @@ class Objective:
         clean_prob0 = jax.nn.softmax(preds0, axis=-1)
         pcfg = PGDConfig(cfg.epsilon, cfg.num_steps, cfg.step_size,
                          random_init="gaussian", ascend=True,
-                         unroll=_unroll(cfg.num_steps))
+                         unroll=_unroll(cfg.num_steps, cfg.attack_unroll))
         x_adv, _ = pgd_linf(self._eval_kl(sg_params, bs1, clean_prob0),
                             x, key_atk, pcfg, aux=None)
         x_adv = jax.lax.stop_gradient(x_adv)
@@ -260,7 +273,7 @@ class Objective:
 
         pcfg = PGDConfig(cfg.epsilon, cfg.num_steps, cfg.step_size,
                          random_init=("uniform" if cfg.random else "none"),
-                         ascend=ascend, unroll=_unroll(cfg.num_steps))
+                         ascend=ascend, unroll=_unroll(cfg.num_steps, cfg.attack_unroll))
         x_adv, bs = pgd_linf(attack, x, key_atk, pcfg, aux=batch_stats)
         x_adv = jax.lax.stop_gradient(x_adv)
 

@@ -24,7 +24,7 @@ from flax import struct
 
 from ..attacks.cw import CWConfig, cw_linf
 from ..attacks.pgd import PGDConfig, fgsm, pgd_linf, random_targets
-from ..objectives.methods import MethodConfig, Objective
+from ..objectives.methods import MethodConfig, Objective, _unroll
 from ..ops.square import add_square
 from ..parallel import mesh as meshlib
 from .modelops import ModelOps, cross_entropy, topk_accuracy
@@ -176,7 +176,7 @@ def build_eval_step(ops: ModelOps, atk: EvalAttackConfig, mesh=None) -> Callable
             pcfg = PGDConfig(atk.epsilon, atk.num_steps, atk.step_size,
                              random_init=("uniform" if atk.random else "none"),
                              ascend=not atk.targeted,
-                             unroll=max(1, min(atk.num_steps, 10)))
+                             unroll=_unroll(atk.num_steps))
             loss_fn = eval_loss(state.params, state.batch_stats, tgt)
             x_adv, _ = pgd_linf(loss_fn, x, key_atk, pcfg)
             # extra restarts: keep the first run's output, then swap in any

@@ -70,10 +70,18 @@ def main():
     limit = cfg.get("limit_batches")
 
     def battery(attack, num_steps, step_size, label):
+        # tar* methods evaluate with targeted attacks; pre_square methods
+        # square the eval inputs (reference validate() protocol — same as
+        # train.py's --evaluate path)
+        method = str(cfg.get("method_name", ""))
         es = build_eval_step(ops, EvalAttackConfig(
             attack, eps, num_steps, step_size,
             bool(cfg.get("random", True)), spec.num_classes,
-            restarts=int(cfg.get("restarts", 1))), mesh=mesh)
+            restarts=int(cfg.get("restarts", 1)),
+            targeted="tar" in method,
+            pre_square="pre_square" in method,
+            square_epsilon=float(cfg.get("epsilon", 0.05)),
+            square_n_queries=int(cfg.get("n_queries", 1))), mesh=mesh)
         c1, a1 = AverageMeter(), AverageMeter()
         key = jax.random.PRNGKey(999)
         for i, (x, y) in enumerate(val_ds.batches(bs, shuffle=False, seed=0)):

@@ -61,6 +61,8 @@ def make_method_config(cfg, num_classes: int) -> MethodConfig:
         pre_square="pre_square" in cfg["method_name"],
         square_epsilon=float(cfg.get("epsilon", 0.05)),
         square_n_queries=int(cfg.get("n_queries", 1)),
+        attack_unroll=(int(cfg["attack_unroll"])
+                       if cfg.get("attack_unroll") is not None else None),
     )
 
 
