@@ -61,6 +61,19 @@ def _ce_loss(logits, y, num_classes):
     return -jnp.take_along_axis(logp, y[:, None], axis=-1)[:, 0]
 
 
+def _dlr_untargeted(logits, y):
+    """Untargeted DLR loss (APGD-DLR, Croce & Hein 2020 eq. 6):
+    -(z_y - max_{i!=y} z_i) / (z_pi1 - z_pi3)."""
+    sorted_logits = jnp.sort(logits, axis=-1)
+    zy = jnp.take_along_axis(logits, y[:, None], axis=-1)[:, 0]
+    one_hot = jax.nn.one_hot(y, logits.shape[-1], dtype=logits.dtype)
+    zother = jnp.max(logits - 1e9 * one_hot, axis=-1)
+    z1 = sorted_logits[:, -1]
+    z3 = (sorted_logits[:, -3] if logits.shape[-1] >= 3
+          else sorted_logits[:, 0])
+    return -(zy - zother) / (z1 - z3 + 1e-12)
+
+
 def _dlr_targeted(logits, y, y_target):
     """Targeted DLR loss (APGD-T)."""
     sorted_logits = jnp.sort(logits, axis=-1)
@@ -74,8 +87,10 @@ def _dlr_targeted(logits, y, y_target):
 
 def apgd(forward_fn: ForwardFn, x: jnp.ndarray, y: jnp.ndarray,
          key: jax.Array, cfg: APGDConfig,
-         y_target: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """APGD maximising CE (untargeted) or targeted DLR. Returns x_adv.
+         y_target: Optional[jnp.ndarray] = None,
+         loss: str = "ce") -> jnp.ndarray:
+    """APGD maximising CE or untargeted DLR (loss='ce'|'dlr'), or targeted
+    DLR when y_target is given. Returns x_adv.
 
     The published checkpoint schedule is static, so the step loop is a
     `lax.fori_loop` over precomputed is-checkpoint / interval tables — one
@@ -98,10 +113,12 @@ def apgd(forward_fn: ForwardFn, x: jnp.ndarray, y: jnp.ndarray,
 
     def loss_fn(xa, k):
         logits = forward_fn(xa, k)
-        if y_target is None:
-            per = _ce_loss(logits, y, cfg.num_classes)
-        else:
+        if y_target is not None:
             per = _dlr_targeted(logits, y, y_target)
+        elif loss == "dlr":
+            per = _dlr_untargeted(logits, y)
+        else:
+            per = _ce_loss(logits, y, cfg.num_classes)
         return jnp.sum(per), per
 
     grad_fn = jax.grad(lambda xa, k: loss_fn(xa, k)[0])
@@ -393,6 +410,8 @@ def build_autoattack(forward_fn: ForwardFn, *, epsilon: float,
     sq_cfg = SquareConfig(epsilon, square_queries, num_classes=num_classes)
 
     j_apgd_ce = jax.jit(lambda x, y, k: apgd(forward_fn, x, y, k, apgd_cfg))
+    j_apgd_dlr = jax.jit(lambda x, y, k: apgd(forward_fn, x, y, k, apgd_cfg,
+                                              loss="dlr"))
     j_apgd_t = jax.jit(lambda x, y, yt, k: apgd(forward_fn, x, y, k, apgd_cfg,
                                                 y_target=yt))
     j_fab_t = jax.jit(lambda x, y, yt, k: fab_targeted(forward_fn, x, y, yt,
@@ -416,6 +435,12 @@ def build_autoattack(forward_fn: ForwardFn, *, epsilon: float,
         if "apgd-ce" in attacks_to_run:
             key, k1, k2 = jax.random.split(key, 3)
             x_adv, still_ok = merge(x_adv, j_apgd_ce(x, y, k1), still_ok, k2)
+
+        # 'individual'-mode extra (official AutoAttack apgd-dlr; not in the
+        # standard suite)
+        if "apgd-dlr" in attacks_to_run:
+            key, k1, k2 = jax.random.split(key, 3)
+            x_adv, still_ok = merge(x_adv, j_apgd_dlr(x, y, k1), still_ok, k2)
 
         if "apgd-t" in attacks_to_run or "fab-t" in attacks_to_run:
             key, k0 = jax.random.split(key)

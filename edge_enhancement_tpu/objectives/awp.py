@@ -29,7 +29,7 @@ from .methods import _unroll
 from ..parallel import mesh as meshlib
 from ..train.modelops import ModelOps, cross_entropy, topk_accuracy
 from ..train.sgd import sgd_update
-from ..train.trainer import OptimConfig, TrainState
+from ..train.trainer import OptimConfig, TrainState, to_float_pixels
 from .methods import MethodConfig
 
 _EPS = 1e-20
@@ -75,6 +75,7 @@ def build_awp_train_step(ops: ModelOps, method: MethodConfig, opt: OptimConfig,
         return loss_fn
 
     def step_fn(state: TrainState, x, y, key, lr, awp_on):
+        x = to_float_pixels(x)
         key_atk, key_proxy, key_fwd = jax.random.split(key, 3)
         sg_params = jax.lax.stop_gradient(state.params)
 

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from ..parallel import mesh as meshlib
 from ..train.modelops import ModelOps, cross_entropy, topk_accuracy
 from ..train.sgd import batchnorm_decay_mask, sgd_update
-from ..train.trainer import OptimConfig, TrainState
+from ..train.trainer import OptimConfig, TrainState, to_float_pixels
 
 
 @dataclasses.dataclass(frozen=True)
@@ -49,6 +49,7 @@ def build_free_train_step(ops: ModelOps, cfg: FreeFastConfig, opt: OptimConfig,
     """step(state, noise, x, y, key, lr) -> (state, noise, metrics)."""
 
     def step_fn(state: TrainState, noise, x, y, key, lr):
+        x = to_float_pixels(x)
         decay_mask = (batchnorm_decay_mask(state.params)
                       if opt.bn_no_decay else None)
 
@@ -94,6 +95,7 @@ def build_fast_train_step(ops: ModelOps, cfg: FreeFastConfig, opt: OptimConfig,
     LR is per-call (the cyclic schedule advances every repeat at the host)."""
 
     def step_fn(state: TrainState, noise, x, y, key, lr):
+        x = to_float_pixels(x)
         decay_mask = (batchnorm_decay_mask(state.params)
                       if opt.bn_no_decay else None)
 

@@ -39,6 +39,17 @@ class TrainState:
     step: jnp.ndarray  # global step counter
 
 
+def to_float_pixels(x):
+    """On-device uint8 -> [0,1] float32 (no-op for float inputs, resolved at
+    trace time). Pairs with datasets' `as_uint8=True`: pixels cross the
+    host->device link as uint8 (4x less traffic — on remote-dispatch
+    platforms the transfer, not the step, was the training bottleneck) and
+    convert on device."""
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) * (1.0 / 255.0)
+    return x
+
+
 def create_train_state(ops: ModelOps, key: jax.Array, sample_x) -> TrainState:
     params, batch_stats = ops.init(key, sample_x)
     return TrainState(params=params, batch_stats=batch_stats,
@@ -64,6 +75,7 @@ def build_train_step(ops: ModelOps, method: MethodConfig, opt: OptimConfig,
     objective = Objective(ops, method)
 
     def step_fn(state: TrainState, x, y, key, lr):
+        x = to_float_pixels(x)
         (loss, (bs, logits)), grads = jax.value_and_grad(
             objective.loss, has_aux=True)(state.params, state.batch_stats, x, y, key)
         new_params, new_buf = sgd_update(
@@ -101,6 +113,7 @@ def build_chained_train_step(ops: ModelOps, method: MethodConfig,
     def step_fn(state: TrainState, xs, ys, keys, lr):
         def one(st: TrainState, batch):
             x, y, key = batch
+            x = to_float_pixels(x)  # inside the scan: one batch of f32 live
             (loss, (bs, logits)), grads = jax.value_and_grad(
                 objective.loss, has_aux=True)(st.params, st.batch_stats,
                                               x, y, key)
@@ -160,6 +173,7 @@ def build_eval_step(ops: ModelOps, atk: EvalAttackConfig, mesh=None) -> Callable
         return loss_fn
 
     def eval_fn(state: TrainState, x, y, key):
+        x = to_float_pixels(x)
         key_clean, key_atk, key_adv, key_tgt, key_sq = jax.random.split(key, 5)
         if atk.pre_square:
             x = add_square(x, key_sq, epsilon=atk.square_epsilon,

@@ -75,6 +75,10 @@ def base_parser(description: str = "edge_enhancement_tpu trainer") -> argparse.A
                         "(reference main_fast.py --restarts)")
     p.add_argument("--limit-batches", dest="limit_batches", type=int, default=None,
                    help="cap batches per epoch (smoke testing)")
+    p.add_argument("--synthetic-size", dest="synthetic_size", type=int,
+                   default=None,
+                   help="train-split size when --data synthetic "
+                        "(default 512; eval split uses half)")
     p.add_argument("--output", default="output", help="checkpoint/log root")
     p.add_argument("--print-freq", dest="print_freq", type=int, default=None)
     p.add_argument("--profile", default=None,

@@ -84,7 +84,9 @@ def main():
             square_n_queries=int(cfg.get("n_queries", 1))), mesh=mesh)
         c1, a1 = AverageMeter(), AverageMeter()
         key = jax.random.PRNGKey(999)
-        for i, (x, y) in enumerate(val_ds.batches(bs, shuffle=False, seed=0)):
+        # uint8 over the host->device link; eval_step converts on device
+        for i, (x, y) in enumerate(val_ds.batches(bs, shuffle=False, seed=0,
+                                                  as_uint8=True)):
             if limit is not None and i >= limit:
                 break
             key, k = jax.random.split(key)

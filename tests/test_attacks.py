@@ -121,6 +121,18 @@ class TestAPGD:
         x_adv = apgd(fwd, x, y, jax.random.PRNGKey(10), cfg, y_target=tgt)
         assert np.isfinite(np.asarray(x_adv)).all()
 
+    def test_dlr_variant_ball_and_margin(self, toy):
+        """apgd-dlr (official 'individual' mode): stays in the ball and
+        never worsens the per-sample DLR margin objective it maximises."""
+        from edge_enhancement_tpu.attacks.autoattack import _dlr_untargeted
+        fwd, x, y = toy
+        cfg = APGDConfig(epsilon=0.15, num_steps=20, num_classes=4)
+        x_adv = apgd(fwd, x, y, jax.random.PRNGKey(12), cfg, loss="dlr")
+        assert np.abs(np.asarray(x_adv - x)).max() <= 0.15 + 1e-5
+        d0 = float(jnp.sum(_dlr_untargeted(fwd(x, None), y)))
+        d1 = float(jnp.sum(_dlr_untargeted(fwd(x_adv, None), y)))
+        assert d1 >= d0 - 1e-5  # best-iterate tracking: never worse overall
+
 
 class TestSquare:
     def test_ball_invariant_and_margin_never_worse(self, toy):

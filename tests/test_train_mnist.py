@@ -31,6 +31,31 @@ def mnist_state():
     return ops, state
 
 
+class TestUint8TransferPath:
+    def test_uint8_batch_matches_float_batch(self, mnist_state):
+        """as_uint8 batches + on-device conversion produce the same step as
+        host-side f32 conversion (the pixels are exactly representable;
+        u8*(1/255) vs u8/255 agree to f32 ulp)."""
+        ops, state = mnist_state
+        ds, _ = get_dataset("mnist", None, True, synthetic_size=64)
+        xf, y = next(ds.batches(8, shuffle=False, seed=3))
+        xu, yu = next(ds.batches(8, shuffle=False, seed=3, as_uint8=True))
+        assert xu.dtype == np.uint8
+        np.testing.assert_array_equal(y, yu)
+        mcfg = MethodConfig(method_name="AT", epsilon=0.3, num_steps=2,
+                            step_size=0.01, num_classes=10)
+        step = build_train_step(ops, mcfg, OptimConfig(momentum=0.9))
+        k = jax.random.PRNGKey(5)
+        s1, m1 = step(state, jnp.asarray(xf), jnp.asarray(y), k,
+                      jnp.float32(0.1))
+        s2, m2 = step(state, jnp.asarray(xu), jnp.asarray(yu), k,
+                      jnp.float32(0.1))
+        assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-4
+        d = max(float(jnp.abs(a - b).max()) for a, b in
+                zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)))
+        assert d < 1e-5
+
+
 class TestCanonicalMethod:
     def test_mapping(self):
         assert canonical_method("ST") == "st"

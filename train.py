@@ -85,9 +85,12 @@ def run_validation(log, eval_step, mesh, state, ds, cfg, *, num_steps, step_size
     # each process loads its disjoint share of the global eval batch
     # (reference DistributedSampler on the val set, experiments_imagenet.py:158)
     local_bs = int(cfg["batch_size"]) // jax.process_count()
+    # pixels cross the host->device link as uint8 (4x less traffic; the
+    # jitted steps convert on device — trainer.py::to_float_pixels)
     for i, (x, y) in enumerate(ds.batches(local_bs, shuffle=False, seed=0,
                                           process_index=jax.process_index(),
-                                          process_count=jax.process_count())):
+                                          process_count=jax.process_count(),
+                                          as_uint8=True)):
         if limit is not None and i >= limit:
             break
         key, k = jax.random.split(key)
@@ -162,7 +165,7 @@ def run_free_fast(cfg, ops, mesh, state, train_ds, val_ds, log, out_dir,
         for i, (x, y) in enumerate(train_ds.batches(
                 batch_size, shuffle=True, seed=int(cfg.get("seed", 1)),
                 epoch=epoch, process_index=jax.process_index(),
-                process_count=jax.process_count())):
+                process_count=jax.process_count(), as_uint8=True)):
             if limit is not None and i >= limit:
                 break
             dt.update(time.time() - end)
@@ -218,10 +221,12 @@ def main():
     seed = int(cfg.get("seed", 1))
 
     image_size = cfg.get("cize") or cfg.get("crop_size")
+    syn = cfg.get("synthetic_size")
     train_ds, spec = get_dataset(dataset_name, cfg.get("data"), train=True,
-                                 image_size=image_size)
+                                 image_size=image_size, synthetic_size=syn)
     val_ds, _ = get_dataset(dataset_name, cfg.get("data"), train=False,
-                            image_size=image_size)
+                            image_size=image_size,
+                            synthetic_size=syn // 2 if syn else None)
     num_classes = spec.num_classes
 
     model = build_model(cfg["arch"], cfg, num_classes)
@@ -343,7 +348,7 @@ def main():
         for i, (x, y) in enumerate(train_ds.batches(
                 batch_size, shuffle=True, seed=seed, epoch=epoch,
                 process_index=jax.process_index(),
-                process_count=jax.process_count())):
+                process_count=jax.process_count(), as_uint8=True)):
             if limit is not None and i >= limit:
                 break
             dt.update(time.time() - end)
