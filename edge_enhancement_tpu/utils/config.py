@@ -93,7 +93,15 @@ def base_parser(description: str = "edge_enhancement_tpu trainer") -> argparse.A
 
 def apply_platform(cfg) -> None:
     """Apply --platform AFTER jax import (see CLAUDE.md: the axon plugin
-    force-appends itself during `import jax`, ignoring the env var)."""
+    force-appends itself during `import jax`, ignoring the env var), and
+    enable the persistent compilation cache — remote-TPU compiles of the
+    fused attack steps take minutes, and every CLI invocation would
+    otherwise pay them again (bench.py already did this)."""
+    import os
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/ee_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     if cfg.get("platform"):
-        import jax
         jax.config.update("jax_platforms", str(cfg["platform"]))
