@@ -183,6 +183,19 @@ class TestStreamingImageFolder:
         b3 = list(ds.batches(4, shuffle=True, seed=3, epoch=1))
         assert not np.array_equal(batches1[0][0], b3[0][0])
 
+    def test_as_uint8_stream_matches_float(self, tmp_path):
+        from edge_enhancement_tpu.data.datasets import StreamingImageFolder
+        _make_image_folder(tmp_path)
+        ds = StreamingImageFolder(str(tmp_path), 48, train=True)
+        xf, yf = next(ds.batches(4, shuffle=True, seed=2, epoch=0))
+        xu, yu = next(ds.batches(4, shuffle=True, seed=2, epoch=0,
+                                 as_uint8=True))
+        assert xu.dtype == np.uint8 and xf.dtype == np.float32
+        np.testing.assert_array_equal(yf, yu)
+        # same draws -> same crops; uint8 is the pre-conversion pixels
+        np.testing.assert_allclose(xu.astype(np.float32) / 255.0, xf,
+                                   atol=1e-6)
+
     def test_process_sharding_disjoint(self, tmp_path):
         from edge_enhancement_tpu.data.datasets import StreamingImageFolder
         _make_image_folder(tmp_path)
