@@ -25,12 +25,11 @@ import jax
 import jax.numpy as jnp
 
 from ..attacks.pgd import PGDConfig, pgd_linf
-from .methods import _unroll
 from ..parallel import mesh as meshlib
 from ..train.modelops import ModelOps, cross_entropy, topk_accuracy
 from ..train.sgd import sgd_update
 from ..train.trainer import OptimConfig, TrainState, to_float_pixels
-from .methods import MethodConfig
+from .methods import MethodConfig, _unroll
 
 _EPS = 1e-20
 

@@ -160,6 +160,26 @@ class EvalAttackConfig:
     pre_square: bool = False
     square_epsilon: float = 0.05
     square_n_queries: int = 1
+    # attack-loop unroll cap (config `attack_unroll`; None -> policy
+    # default — roll at 224px, see objectives/methods._unroll)
+    unroll_cap: Optional[int] = None
+
+
+def eval_protocol(cfg) -> dict:
+    """Derive the reference validate() protocol kwargs from a config —
+    shared by train.py's per-epoch/--evaluate path and eval.py's batteries
+    so the two can never diverge (tar* -> targeted attacks on random wrong
+    labels, pre_square -> squared eval inputs, restarts, unroll cap)."""
+    method = str(cfg.get("method_name", ""))
+    return dict(
+        targeted="tar" in method,
+        pre_square="pre_square" in method,
+        square_epsilon=float(cfg.get("epsilon", 0.05)),
+        square_n_queries=int(cfg.get("n_queries", 1)),
+        restarts=int(cfg.get("restarts", 1)),
+        unroll_cap=(int(cfg["attack_unroll"])
+                    if cfg.get("attack_unroll") is not None else None),
+    )
 
 
 def build_eval_step(ops: ModelOps, atk: EvalAttackConfig, mesh=None) -> Callable:
@@ -190,7 +210,7 @@ def build_eval_step(ops: ModelOps, atk: EvalAttackConfig, mesh=None) -> Callable
             pcfg = PGDConfig(atk.epsilon, atk.num_steps, atk.step_size,
                              random_init=("uniform" if atk.random else "none"),
                              ascend=not atk.targeted,
-                             unroll=_unroll(atk.num_steps))
+                             unroll=_unroll(atk.num_steps, atk.unroll_cap))
             loss_fn = eval_loss(state.params, state.batch_stats, tgt)
             x_adv, _ = pgd_linf(loss_fn, x, key_atk, pcfg)
             # extra restarts: keep the first run's output, then swap in any

@@ -27,7 +27,8 @@ from edge_enhancement_tpu.train import checkpoint as ckpt
 from edge_enhancement_tpu.train.modelops import ModelOps, topk_accuracy
 from edge_enhancement_tpu.train.trainer import (EvalAttackConfig,
                                                 build_eval_step,
-                                                create_train_state)
+                                                create_train_state,
+                                                eval_protocol)
 from edge_enhancement_tpu.utils.config import (apply_platform, base_parser,
                                                 load_config)
 from edge_enhancement_tpu.utils.meters import AverageMeter, Logger
@@ -70,18 +71,12 @@ def main():
     limit = cfg.get("limit_batches")
 
     def battery(attack, num_steps, step_size, label):
-        # tar* methods evaluate with targeted attacks; pre_square methods
-        # square the eval inputs (reference validate() protocol — same as
-        # train.py's --evaluate path)
-        method = str(cfg.get("method_name", ""))
+        # reference validate() protocol (tar* -> targeted attacks,
+        # pre_square -> squared eval inputs) — shared with train.py
         es = build_eval_step(ops, EvalAttackConfig(
             attack, eps, num_steps, step_size,
             bool(cfg.get("random", True)), spec.num_classes,
-            restarts=int(cfg.get("restarts", 1)),
-            targeted="tar" in method,
-            pre_square="pre_square" in method,
-            square_epsilon=float(cfg.get("epsilon", 0.05)),
-            square_n_queries=int(cfg.get("n_queries", 1))), mesh=mesh)
+            **eval_protocol(cfg)), mesh=mesh)
         c1, a1 = AverageMeter(), AverageMeter()
         key = jax.random.PRNGKey(999)
         # uint8 over the host->device link; eval_step converts on device

@@ -39,7 +39,8 @@ from edge_enhancement_tpu.train.trainer import (EvalAttackConfig, OptimConfig,
                                                 build_chained_train_step,
                                                 build_eval_step,
                                                 build_train_step,
-                                                create_train_state)
+                                                create_train_state,
+                                                eval_protocol)
 from edge_enhancement_tpu.utils.config import (apply_platform, base_parser,
                                                 load_config)
 from edge_enhancement_tpu.utils.meters import (AverageMeter, Logger,
@@ -110,7 +111,7 @@ def run_validation(log, eval_step, mesh, state, ds, cfg, *, num_steps, step_size
 
 
 def run_free_fast(cfg, ops, mesh, state, train_ds, val_ds, log, out_dir,
-                  num_classes, start_epoch=0):
+                  num_classes, start_epoch=0, best_prec1=0.0):
     """Free/fast-AT epoch loop (reference AT_*_free_imagenet_ddp.py:284-337,
     main_fast.py:200-288). Free: persistent noise, epochs/n_repeats, scaled
     step-30 LR. Fast: per-batch noise re-init, cyclic LR per minibatch."""
@@ -148,7 +149,8 @@ def run_free_fast(cfg, ops, mesh, state, train_ds, val_ds, log, out_dir,
     limit = cfg.get("limit_batches")
     n_batches = max(len(train_ds) // (batch_size * jax.process_count()), 1)
     key = jax.random.PRNGKey(int(cfg.get("seed", 1)))
-    best_prec1 = 0.0
+    # best_prec1 arrives restored from the checkpoint on resume (else 0.0)
+    # so a worse post-resume epoch cannot overwrite the 'best' artifact
 
     eval_step = build_eval_step(ops, EvalAttackConfig(
         "PGD", float(cfg.get("epsilon", ffcfg.clip_eps)),
@@ -170,9 +172,13 @@ def run_free_fast(cfg, ops, mesh, state, train_ds, val_ds, log, out_dir,
                 break
             dt.update(time.time() - end)
             if fast:
-                # piecewise-linear absolute-epoch knots (main_fast.py:172)
+                # piecewise-linear absolute-epoch knots (main_fast.py:172);
+                # default knots anchor at the PHASE start from the config —
+                # NOT the resumed epoch — so a resumed run follows the same
+                # ramp as an uninterrupted one
                 ep_f = epoch + (i * n_repeats + 1) / max(n_batches, 1)
-                knots_e = cfg.get("lr_epochs") or [start_epoch, epochs]
+                knots_e = (cfg.get("lr_epochs")
+                           or [int(cfg.get("start_epoch", 0)), epochs])
                 knots_v = cfg.get("lr_values") or [float(cfg.get("lr", 0.1))] * 2
                 lr = schedules.interp_knots(ep_f, knots_e, knots_v)
             else:
@@ -265,7 +271,8 @@ def main():
     # only, reference main_fast.py configs.evaluate path).
     if cfg["method_name"] in ("free_AT", "fast_AT") and not cfg.get("evaluate"):
         return run_free_fast(cfg, ops, mesh, state, train_ds, val_ds, log,
-                             out_dir, num_classes, start_epoch=start_epoch)
+                             out_dir, num_classes, start_epoch=start_epoch,
+                             best_prec1=best_prec1)
 
     awp_warmup = None
     if cfg.get("awp_gamma") is not None:
@@ -281,13 +288,8 @@ def main():
 
     # tar* methods validate with targeted attacks; pre_square methods square
     # the validation inputs (reference validate(),
-    # experiments_tinyimagenet.py:341-371).
-    eval_proto = dict(
-        targeted="tar" in cfg["method_name"],
-        pre_square="pre_square" in cfg["method_name"],
-        square_epsilon=float(cfg.get("epsilon", 0.05)),
-        square_n_queries=int(cfg.get("n_queries", 1)),
-        restarts=int(cfg.get("restarts", 1)))
+    # experiments_tinyimagenet.py:341-371). Shared with eval.py.
+    eval_proto = eval_protocol(cfg)
     eval_atk = EvalAttackConfig(
         attack_method=str(cfg.get("attack_method", "PGD")),
         epsilon=float(cfg.get("epsilon", 8 / 255)),
