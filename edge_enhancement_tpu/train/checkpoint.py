@@ -26,6 +26,11 @@ def _to_host(tree: Any) -> Any:
 def save_checkpoint(ckpt_dir: str, state: Any, epoch: int, arch: str,
                     best_prec1: float, is_best: bool,
                     extra: Optional[dict] = None) -> None:
+    # multihost: process 0 writes, like the reference's rank-0-only
+    # torch.save (experiments_imagenet.py:202) — the state is replicated,
+    # so every host holds identical values
+    if jax.process_index() != 0:
+        return
     ckpt_dir = os.path.abspath(ckpt_dir)
     os.makedirs(ckpt_dir, exist_ok=True)
     payload = {"state": _to_host(state),

@@ -30,13 +30,23 @@ class AverageMeter:
 
 
 class Logger:
-    """print + append to log.txt (reference per-run log dir layout)."""
+    """print + append to log.txt (reference per-run log dir layout).
+    Multihost: only process 0 writes the file (reference rank-0-only
+    logging, experiments_imagenet.py:172-180); other hosts still print."""
 
     def __init__(self, log_dir: Optional[str]):
         self.log_dir = log_dir
         if log_dir:
-            os.makedirs(log_dir, exist_ok=True)
-            self.path = os.path.join(log_dir, "log.txt")
+            try:
+                import jax
+                rank0 = jax.process_index() == 0
+            except Exception:
+                rank0 = True
+            if rank0:
+                os.makedirs(log_dir, exist_ok=True)
+                self.path = os.path.join(log_dir, "log.txt")
+            else:
+                self.path = None
         else:
             self.path = None
 
