@@ -32,7 +32,10 @@ TIN_BASE = dict(dataset="tiny_imagenet", lr_schedule="piecewise_50_75",
                 step_size_2=0.003921568627451, num_steps_3=100,
                 step_size_3=0.003921568627451, random=True, cize=64)
 
+# attack_unroll 1: at 224px the rolled PGD loop beats the 64px full-unroll
+# policy (docs/PERF.md "224px tuning")
 IN_BASE = dict(dataset="imagenet", lr_schedule="step30", start_epoch=0,
+               attack_unroll=1,
                epochs=90, batch_size=256, lr=0.1, momentum=0.9,
                weight_decay=0.0001, print_freq=100, seed=1,
                epsilon=0.062745098039216, num_steps_1=10,
@@ -151,6 +154,7 @@ CONFIGS = {
 
 # ---- free-AT (free_imagenet drivers: argparse defaults) ------------------
 FREE_BASE = dict(dataset="imagenet", lr_schedule="step30_free", start_epoch=0,
+                 attack_unroll=1,
                  epochs=90, batch_size=256, lr=0.1, momentum=0.9,
                  weight_decay=0.0001, print_freq=100, seed=1, cize=224,
                  n_repeats=4, fgsm_step=4.0, clip_eps=4.0,
@@ -175,6 +179,7 @@ def _fast_phase(eps_px, phase, ee):
              2: ([6, 12], [0.04, 0.004]),
              3: ([12, 15], [0.004, 0.0004])}[phase]
     c = dict(dataset="imagenet", lr_schedule="fast_knots", method_name="fast_AT",
+             attack_unroll=1,
              arch="resnet50_EE" if ee else "resnet50",
              start_epoch={1: 0, 2: 6, 3: 12}[phase],
              epochs={1: 6, 2: 12, 3: 15}[phase],
