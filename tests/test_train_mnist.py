@@ -56,6 +56,24 @@ class TestUint8TransferPath:
         assert d < 1e-5
 
 
+class TestEvalRestarts:
+    def test_restarts_monotone_and_clean_invariant(self, mnist_state):
+        """Multi-restart eval PGD (fgsm_imagenet/lib/validation.py:31-57):
+        extra restarts keep the first run's output unless a restart flips a
+        still-correct prediction — robust accuracy is monotonically
+        non-increasing in restarts, clean metrics identical."""
+        ops, state = mnist_state
+        x, y = make_batch(16, seed=9)
+        m_by_r = {}
+        for r in (1, 4):
+            es = build_eval_step(ops, EvalAttackConfig(
+                "PGD", epsilon=0.15, num_steps=3, step_size=0.06,
+                random=True, num_classes=10, restarts=r))
+            m_by_r[r] = jax.device_get(es(state, x, y, jax.random.PRNGKey(7)))
+        assert m_by_r[4]["adv_top1"] <= m_by_r[1]["adv_top1"] + 1e-6
+        assert m_by_r[4]["clean_top1"] == m_by_r[1]["clean_top1"]
+
+
 class TestCanonicalMethod:
     def test_mapping(self):
         assert canonical_method("ST") == "st"
