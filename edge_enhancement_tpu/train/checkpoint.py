@@ -44,6 +44,36 @@ def save_checkpoint(ckpt_dir: str, state: Any, epoch: int, arch: str,
             ckptr.save(os.path.join(ckpt_dir, "best"), payload, force=True)
 
 
+def save_noise_shard(ckpt_dir: str, noise) -> None:
+    """Multihost free-AT noise persistence: the replay-noise buffer is
+    DATA-SHARDED (unlike the replicated TrainState), so the rank-0 orbax
+    payload cannot carry it — every process writes its own local portion to
+    `noise_p{rank}.npy` and reads it back on resume (reference keeps
+    `global_noise_data` alive per-GPU process,
+    AT_hfs_canny_free_imagenet_ddp.py:284-337)."""
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    # local rows in global order; dedup by row offset (a model>1 mesh axis
+    # replicates each row range across several local devices)
+    rows = {}
+    for s in noise.addressable_shards:
+        start = s.index[0].start or 0
+        if start not in rows:
+            rows[start] = np.asarray(s.data)
+    local = np.concatenate([rows[k] for k in sorted(rows)], axis=0)
+    path = os.path.join(ckpt_dir, f"noise_p{jax.process_index()}.npy")
+    tmp = path[:-4] + ".tmp.npy"  # np.save appends .npy unless present
+    np.save(tmp, local)
+    os.replace(tmp, path)  # atomic: a crashed save never leaves a torn file
+
+
+def load_noise_shard(ckpt_dir: str) -> Optional[np.ndarray]:
+    """This process's persisted free-AT noise rows (None if absent)."""
+    path = os.path.join(os.path.abspath(ckpt_dir),
+                        f"noise_p{jax.process_index()}.npy")
+    return np.load(path) if os.path.exists(path) else None
+
+
 def load_checkpoint(ckpt_dir: str, which: str = "last") -> Optional[dict]:
     path = os.path.join(os.path.abspath(ckpt_dir), which)
     if not os.path.exists(path):

@@ -46,7 +46,10 @@ def to_float_pixels(x):
     platforms the transfer, not the step, was the training bottleneck) and
     convert on device."""
     if x.dtype == jnp.uint8:
-        return x.astype(jnp.float32) * (1.0 / 255.0)
+        # divide (not multiply-by-reciprocal): bit-identical to the host
+        # pipeline's x / 255.0 for every uint8 value (ADVICE r2 — the
+        # reciprocal form differs by 1 ulp for 126 of 256 values)
+        return x.astype(jnp.float32) / 255.0
     return x
 
 

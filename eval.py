@@ -70,13 +70,13 @@ def main():
     bs = int(cfg["batch_size"])
     limit = cfg.get("limit_batches")
 
-    def battery(attack, num_steps, step_size, label):
+    def battery(attack, num_steps, step_size, label, **extra):
         # reference validate() protocol (tar* -> targeted attacks,
         # pre_square -> squared eval inputs) — shared with train.py
         es = build_eval_step(ops, EvalAttackConfig(
             attack, eps, num_steps, step_size,
             bool(cfg.get("random", True)), spec.num_classes,
-            **eval_protocol(cfg)), mesh=mesh)
+            **eval_protocol(cfg), **extra), mesh=mesh)
         c1, a1 = AverageMeter(), AverageMeter()
         key = jax.random.PRNGKey(999)
         # uint8 over the host->device link; eval_step converts on device
@@ -102,7 +102,11 @@ def main():
     if "fgsm" in suite:
         battery("FGSM", 1, float(cfg.get("step_size_1", 2 / 255)), "FGSM")
     if "cw" in suite:
-        battery("CW", 20, 0.00392, "CW-Linf")
+        # iteration count from the config like the PGD tiers (default 20 =
+        # the reference CWLinfAttack max_iter, utils/attacks.py)
+        cw_iters = int(cfg.get("cw_iters", 20))
+        battery("CW", cw_iters, 0.00392, f"CW-Linf-{cw_iters}",
+                cw_iters=cw_iters)
     if "aa" in suite:
         # AutoAttack over the (optionally capped) eval set. build_autoattack
         # jits every attack once (static step counts); successive batches of

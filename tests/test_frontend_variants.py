@@ -67,3 +67,44 @@ class TestMethodVariants:
 
     def test_processing_method_aliases_to_at(self):
         self._run_step("Net2_EE_square", "Processing_EE_AT_square")
+
+
+class TestU2NetFrontend:
+    def test_u2netp_edge_source_trains_under_attack(self):
+        """`type_canny: u2netp` (config tiny_imagenet/ee_at_u2netp.yml): the
+        learned U2-Net edge extractor replaces Canny inside the EE front-end
+        (reference resnet_EE.py:130-131). One PGD-AT train step must (a) run
+        the attack THROUGH the U2Net edge path (white-box gradients flow
+        into the input via the edge branch) and (b) update the U2Net
+        parameters themselves (they are part of the trained model)."""
+        args = dict(r=8, w=1.0, gf=False, low=38., high=76., alpha=0.0,
+                    sigma=1.0, type_canny="u2netp")
+        ops = ModelOps(build_model("resnet18_EE", args, 10))
+        x = jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 32, 3))
+        y = jnp.arange(2) % 10
+        state = create_train_state(ops, jax.random.PRNGKey(1), x[:1])
+        assert "U2Net_0" in state.params, list(state.params)
+        mcfg = MethodConfig(method_name="EE_AT", epsilon=8 / 255, num_steps=1,
+                            step_size=2 / 255, num_classes=10)
+        step = build_train_step(ops, mcfg, OptimConfig(0.9, 1e-4))
+        new_state, m = step(state, x, y, jax.random.PRNGKey(2),
+                            jnp.float32(0.1))
+        assert np.isfinite(float(m["loss"]))
+        # the U2Net edge extractor's weights moved (nonzero gradients)
+        before = jax.tree.leaves(state.params["U2Net_0"])
+        after = jax.tree.leaves(new_state.params["U2Net_0"])
+        moved = sum(float(np.abs(np.asarray(a) - np.asarray(b)).max())
+                    for a, b in zip(after, before))
+        assert moved > 0.0
+
+        # white-box attack gradient reaches the input through the edge branch
+        from edge_enhancement_tpu.train.modelops import cross_entropy
+
+        def atk_loss(xx):
+            logits = ops.logits_eval(state.params, state.batch_stats, xx,
+                                     jax.random.PRNGKey(3))
+            return cross_entropy(logits, y, "sum")
+
+        g = np.asarray(jax.grad(atk_loss)(x))
+        assert np.isfinite(g).all()
+        assert np.abs(g).max() > 0.0

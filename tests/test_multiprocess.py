@@ -68,6 +68,56 @@ WORKER = textwrap.dedent("""
 """) % {"repo": REPO}
 
 
+NOISE_WORKER = textwrap.dedent("""
+    import os, sys, json
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    port, pid, out_path, ckpt_dir = (sys.argv[1], int(sys.argv[2]),
+                                     sys.argv[3], sys.argv[4])
+    jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                               num_processes=2, process_id=pid)
+    import numpy as np
+    import jax.numpy as jnp
+    sys.path.insert(0, %(repo)r)
+    from edge_enhancement_tpu.models.cnn_mnist import net2
+    from edge_enhancement_tpu.objectives.free_fast import (FreeFastConfig,
+                                                           build_free_train_step)
+    from edge_enhancement_tpu.parallel import mesh as meshlib
+    from edge_enhancement_tpu.train import checkpoint as ckpt
+    from edge_enhancement_tpu.train.modelops import ModelOps
+    from edge_enhancement_tpu.train.trainer import (OptimConfig,
+                                                    create_train_state)
+
+    ops = ModelOps(net2())
+    mesh = meshlib.make_mesh()
+    rng = np.random.default_rng(100 + pid)   # disjoint per-process data
+    x = rng.random((8, 28, 28, 1)).astype(np.float32)
+    y = (np.arange(8, dtype=np.int32) + pid) %% 10
+    state = create_train_state(ops, jax.random.PRNGKey(0), jnp.asarray(x[:1]))
+    state = meshlib.replicate(mesh, state)
+    xb, yb = meshlib.shard_batch(mesh, (x, y))
+    noise = meshlib.shard_batch(mesh, np.zeros((8, 28, 28, 1), np.float32))
+    step = build_free_train_step(ops, FreeFastConfig(
+        n_repeats=2, fgsm_step=0.05, clip_eps=0.1), OptimConfig(0.9), mesh=mesh)
+    _, noise, _ = step(state, noise, xb, yb, jax.random.PRNGKey(1),
+                       jnp.float32(0.1))
+
+    # every process persists its own data-sharded rows, then restores them
+    ckpt.save_noise_shard(ckpt_dir, noise)
+    reloaded = ckpt.load_noise_shard(ckpt_dir)
+    rebuilt = meshlib.shard_batch(mesh, reloaded)
+    # global reduction over the sharded axis: identical iff every row survived
+    delta = float(jax.device_get(jax.jit(
+        lambda a, b: jnp.max(jnp.abs(a - b)))(rebuilt, noise)))
+    csum = float(jax.device_get(jax.jit(
+        lambda a: jnp.sum(jnp.abs(a)))(noise)))
+    with open(out_path, "w") as f:
+        json.dump({"delta": delta, "csum": csum,
+                   "local_sum": float(np.abs(reloaded).sum())}, f)
+""") % {"repo": REPO}
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("localhost", 0))
@@ -135,3 +185,43 @@ def test_two_process_step_matches_single_process(tmp_path):
     )(st.params)))
     np.testing.assert_allclose(res[0]["loss"], loss_1p, rtol=1e-5)
     np.testing.assert_allclose(res[0]["checksum"], ck_1p, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_two_process_freeat_noise_persistence(tmp_path):
+    """Multihost free-AT resume: the data-sharded replay-noise buffer
+    round-trips through per-process shard files (ckpt.save_noise_shard /
+    load_noise_shard) — the reassembled global buffer is bit-identical to
+    the live one, and each process carries distinct rows (reference keeps
+    global_noise_data alive per GPU process,
+    AT_hfs_canny_free_imagenet_ddp.py:284-337)."""
+    worker = tmp_path / "worker.py"
+    worker.write_text(NOISE_WORKER)
+    port = _free_port()
+    ckpt_dir = tmp_path / "ckpt"
+    outs = [tmp_path / f"out_{i}.json" for i in range(2)]
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("JAX_", "XLA_"))}
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(port), str(i), str(outs[i]),
+         str(ckpt_dir)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)]
+    logs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        logs.append(out.decode())
+    for p, lg in zip(procs, logs):
+        assert p.returncode == 0, lg[-2000:]
+    res = [json.loads(o.read_text()) for o in outs]
+
+    # reassembled buffer == live buffer, observed identically on both ranks
+    assert res[0]["delta"] == 0.0 and res[1]["delta"] == 0.0
+    assert res[0]["csum"] == res[1]["csum"] and res[0]["csum"] > 0
+    # both shard files exist and hold DIFFERENT rows (disjoint data halves)
+    assert (ckpt_dir / "noise_p0.npy").exists()
+    assert (ckpt_dir / "noise_p1.npy").exists()
+    assert res[0]["local_sum"] != res[1]["local_sum"]
+    # the two local halves sum to the global buffer
+    np.testing.assert_allclose(res[0]["local_sum"] + res[1]["local_sum"],
+                               res[0]["csum"], rtol=1e-5)

@@ -131,7 +131,11 @@ class TestFreeFastDriver:
         assert any("Epoch: [1]" in l for l in lines)
         payload = ckpt.load_checkpoint(os.path.join(out_dir, "ckpt"))
         assert payload["meta"]["epoch"] == 2
-        assert "noise" in payload["extra"]
+        # replay noise persists as per-process shard files (multihost-safe;
+        # this process is rank 0) and is non-trivially evolved
+        shard = ckpt.load_noise_shard(os.path.join(out_dir, "ckpt"))
+        assert shard is not None and shard.shape == (8, 28, 28, 1)
+        assert np.abs(shard).max() > 0
 
         # resume at the stored epoch: nothing left to train
         cfg2 = dict(cfg, resume=os.path.join(out_dir, "ckpt"))

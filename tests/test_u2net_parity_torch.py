@@ -85,11 +85,11 @@ def _copy_weights(tmodel, params, stats):
     return params, stats, n
 
 
-def test_u2netp_forward_parity():
-    from utils.u2net import U2NETP
+def _build_pair(full: bool):
+    from utils.u2net import U2NET, U2NETP
 
     torch.manual_seed(0)
-    tmodel = U2NETP(3, 1)
+    tmodel = U2NET(3, 1) if full else U2NETP(3, 1)
     tmodel.eval()
     # non-default BN stats so the eval normalization is actually exercised
     with torch.no_grad():
@@ -98,14 +98,18 @@ def test_u2netp_forward_parity():
                 m.running_mean.uniform_(-0.2, 0.2)
                 m.running_var.uniform_(0.5, 1.5)
 
-    model = U2Net(full=False)
+    model = U2Net(full=full)
     rng = np.random.default_rng(9)
     x = rng.random((2, 64, 64, 3)).astype(np.float32)
     variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x), False)
     params, stats, n = _copy_weights(tmodel, variables["params"],
                                      variables["batch_stats"])
     assert n == 112 + 7  # 112 REBNCONVs + 6 side heads + outconv
+    return tmodel, model, params, stats, x
 
+
+def test_u2netp_forward_parity():
+    tmodel, model, params, stats, x = _build_pair(full=False)
     out_j = model.apply({"params": params, "batch_stats": stats},
                         jnp.asarray(x), False)
     xt = torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
@@ -113,3 +117,20 @@ def test_u2netp_forward_parity():
         out_t = tmodel(xt)
     np.testing.assert_allclose(np.asarray(out_j)[..., 0],
                                out_t.numpy()[:, 0], atol=1e-4)
+
+
+def test_u2net_full_forward_parity():
+    """The 7-map full variant (u2net.py:329-431): same parameterised blocks,
+    its own stage widths (mid 32/32/64/128/256, out 64..512) — all seven
+    sigmoid maps (fused + d1..d6) must match elementwise on copied weights."""
+    tmodel, model, params, stats, x = _build_pair(full=True)
+    outs_j = model.apply({"params": params, "batch_stats": stats},
+                         jnp.asarray(x), False)
+    assert isinstance(outs_j, tuple) and len(outs_j) == 7
+    xt = torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
+    with torch.no_grad():
+        outs_t = tmodel(xt)
+    for i, (oj, ot) in enumerate(zip(outs_j, outs_t)):
+        np.testing.assert_allclose(np.asarray(oj)[..., 0],
+                                   ot.numpy()[:, 0], atol=1e-4,
+                                   err_msg=f"map {i}")

@@ -104,6 +104,12 @@ CONFIGS = {
         "ee_at_bpda3_square": dict(method_name="EE_BPDA3_AT_square",
                                    arch="resnet18_EE_square", n_queries=1,
                                    type_canny="CannyFilter_step125_1", **EE_TIN),
+        # learned U2-Net edge source in place of Canny (the reference
+        # instantiates U2NETP inside ResNet_EE, resnet_EE.py:130-131; no
+        # reference YAML selects it — exposed here as a first-class config)
+        "ee_at_u2netp": dict(method_name="EE_AT", arch="resnet18_EE",
+                             type_canny="u2netp",
+                             step_size_1=0.003921568627451, **EE_TIN),
         "ee_at_bpda3_pre_square": dict(method_name="EE_BPDA3_AT_pre_square",
                                        arch="resnet18_EE", n_queries=1,
                                        type_canny="CannyFilter_step125_1", **EE_TIN),

@@ -138,11 +138,18 @@ def run_free_fast(cfg, ops, mesh, state, train_ds, val_ds, log, out_dir,
     # reference keeps global_noise_data alive across batches/epochs)
     noise_host = init_noise(batch_size, cize, channels)
     if cfg.get("resume"):
-        payload = ckpt.load_checkpoint(cfg["resume"])
-        if payload is not None and "extra" in payload and "noise" in payload["extra"]:
-            saved_noise = np.asarray(payload["extra"]["noise"])
-            if saved_noise.shape == noise_host.shape:
-                noise_host = saved_noise
+        # multihost: each process restores its own persisted noise rows
+        # (ckpt.save_noise_shard); single-host falls back to the orbax
+        # `extra` payload for old checkpoints
+        shard = ckpt.load_noise_shard(cfg["resume"])
+        if shard is not None and shard.shape == noise_host.shape:
+            noise_host = shard
+        else:
+            payload = ckpt.load_checkpoint(cfg["resume"])
+            if payload is not None and "extra" in payload and "noise" in payload["extra"]:
+                saved_noise = np.asarray(payload["extra"]["noise"])
+                if saved_noise.shape == noise_host.shape:
+                    noise_host = saved_noise
     noise = meshlib.shard_batch(mesh, noise_host)
     epochs = int(math.ceil(int(cfg["epochs"]) / n_repeats)) if not fast \
         else int(cfg["epochs"])
@@ -152,11 +159,15 @@ def run_free_fast(cfg, ops, mesh, state, train_ds, val_ds, log, out_dir,
     # best_prec1 arrives restored from the checkpoint on resume (else 0.0)
     # so a worse post-resume epoch cannot overwrite the 'best' artifact
 
+    # same validate() protocol as the generic path (eval_protocol: unroll
+    # cap, restarts, tar/pre_square) so in-training and --evaluate/eval.py
+    # validation can never diverge (ADVICE r2: the 224px free/fast configs
+    # set attack_unroll: 1 and this eval must honour it too)
     eval_step = build_eval_step(ops, EvalAttackConfig(
         "PGD", float(cfg.get("epsilon", ffcfg.clip_eps)),
         int(cfg.get("num_steps_1", 10)),
         float(cfg.get("step_size_1", 1 / 255)),
-        True, num_classes), mesh=mesh)
+        True, num_classes, **eval_protocol(cfg)), mesh=mesh)
 
     # resume continues at the checkpoint epoch (free: in replay-divided
     # units, matching what save_checkpoint below stored; fast: the phase
@@ -203,12 +214,12 @@ def run_free_fast(cfg, ops, mesh, state, train_ds, val_ds, log, out_dir,
         is_best = prec1 > best_prec1
         best_prec1 = max(prec1, best_prec1)
         # persist the replay-noise buffer so resume continues the in-run
-        # trajectory (single-process; multihost shards would need per-host files)
-        extra = ({"noise": np.asarray(jax.device_get(noise))}
-                 if jax.process_count() == 1 else None)
-        ckpt.save_checkpoint(os.path.join(out_dir, "ckpt"),
-                             jax.device_get(state), epoch + 1, cfg["arch"],
-                             best_prec1, is_best, extra=extra)
+        # trajectory: every process writes its own data-sharded rows
+        # (rank-0's orbax payload only holds replicated state)
+        ckpt_path = os.path.join(out_dir, "ckpt")
+        ckpt.save_noise_shard(ckpt_path, noise)
+        ckpt.save_checkpoint(ckpt_path, jax.device_get(state), epoch + 1,
+                             cfg["arch"], best_prec1, is_best)
     log(f"=> done. best robust-eval Prec@1 {best_prec1:.3f}")
 
 
