@@ -48,12 +48,22 @@ class APGDConfig:
 
 
 def _apgd_checkpoints(num_steps: int) -> list[int]:
-    """w_j from the APGD paper: p0=0, p1=0.22,
-    p_{j+1} = p_j + max(p_j - p_{j-1} - 0.03, 0.06); w_j = ceil(p_j * N)."""
-    ps = [0.0, 0.22]
-    while ps[-1] < 1.0:
-        ps.append(ps[-1] + max(ps[-1] - ps[-2] - 0.03, 0.06))
-    return sorted({int(math.ceil(p * num_steps)) for p in ps if p <= 1.0})
+    """Checkpoint positions exactly as the official AutoAttack implements
+    them (autopgd_base.py: n_iter_2/n_iter_min/size_decr with int()
+    truncation, window decayed at each checkpoint) — NOT the paper's
+    p_j-ceil formula, which differs by rounding for N != 100. The reference's
+    robust numbers come from the official package (utils/aa.py:129-132), so
+    the package's arithmetic is the parity target."""
+    n2 = max(int(0.22 * num_steps), 1)
+    n_min = max(int(0.06 * num_steps), 1)
+    decr = max(int(0.03 * num_steps), 1)
+    ckpts = []
+    k, pos = n2, n2
+    while pos <= num_steps:
+        ckpts.append(pos)
+        k = max(k - decr, n_min)
+        pos += k
+    return ckpts
 
 
 def _ce_loss(logits, y, num_classes):
@@ -88,7 +98,7 @@ def _dlr_targeted(logits, y, y_target):
 def apgd(forward_fn: ForwardFn, x: jnp.ndarray, y: jnp.ndarray,
          key: jax.Array, cfg: APGDConfig,
          y_target: Optional[jnp.ndarray] = None,
-         loss: str = "ce") -> jnp.ndarray:
+         loss: str = "ce", return_info: bool = False) -> jnp.ndarray:
     """APGD maximising CE or untargeted DLR (loss='ce'|'dlr'), or targeted
     DLR when y_target is given. Returns x_adv.
 
@@ -102,7 +112,11 @@ def apgd(forward_fn: ForwardFn, x: jnp.ndarray, y: jnp.ndarray,
     ckpts = [c for c in _apgd_checkpoints(cfg.num_steps) if c > 1]
     is_ckpt = [False] * (cfg.num_steps + 1)
     interval = [0] * (cfg.num_steps + 1)
-    last = 1
+    # last=0: the official first window spans the full n_iter_2 steps — its
+    # check_oscillation wraps around to loss_steps[-1]==0, comparing the
+    # first update's loss against 0 (emulated below by seeding the counter
+    # with f1 > 0)
+    last = 0
     for c in ckpts:
         if c <= cfg.num_steps:
             is_ckpt[c] = True
@@ -119,22 +133,30 @@ def apgd(forward_fn: ForwardFn, x: jnp.ndarray, y: jnp.ndarray,
             per = _dlr_untargeted(logits, y)
         else:
             per = _ce_loss(logits, y, cfg.num_classes)
-        return jnp.sum(per), per
+        return jnp.sum(per), (per, logits)
 
     grad_fn = jax.grad(lambda xa, k: loss_fn(xa, k)[0])
 
     key, k0, k1, k2 = jax.random.split(key, 4)
     t = jax.random.uniform(k0, x.shape, minval=-1.0, maxval=1.0)
     x0 = jnp.clip(x + eps * t, 0.0, 1.0)
-    _, f0 = loss_fn(x0, k1)
+    _, (f0, logits0) = loss_fn(x0, k1)
+    # official bookkeeping: the latest MISCLASSIFIED iterate is what the
+    # attack returns (x_best_adv, autopgd_base.py); the max-loss iterate
+    # only steers the search/restarts
+    found = jnp.argmax(logits0, axis=-1) != y
+    x_adv_found = jnp.where(found[expand], x0, x)
 
-    # first step
+    # first step (official i=0: momentum weight 1.0)
     alpha = jnp.full((x.shape[0],), 2.0 * eps)
     g = grad_fn(x0, k2)
     x1 = jnp.clip(jnp.clip(x0 + alpha[expand] * jnp.sign(g),
                            x - eps, x + eps), 0.0, 1.0)
     key, k = jax.random.split(key)
-    _, f1 = loss_fn(x1, k)
+    _, (f1, logits1) = loss_fn(x1, k)
+    mis1 = jnp.argmax(logits1, axis=-1) != y
+    x_adv_found = jnp.where(mis1[expand], x1, x_adv_found)
+    found = found | mis1
 
     improved = (f1 > f0)
     x_best = jnp.where(improved[expand], x1, x0)
@@ -145,8 +167,8 @@ def apgd(forward_fn: ForwardFn, x: jnp.ndarray, y: jnp.ndarray,
                                            else 1, 2, -1)
 
     def body(step, st):
-        (x_prev, x_cur, x_best, f_best, alpha, n_improved, f_best_last,
-         alpha_last) = st
+        (x_prev, x_cur, x_best, f_best, alpha, n_incr, f_prev, f_best_last,
+         halved_last, found, x_adv_found) = st
         k_g, k_f = step_keys[step, 0], step_keys[step, 1]
         g = grad_fn(x_cur, k_g)
         a = alpha[expand]
@@ -155,36 +177,59 @@ def apgd(forward_fn: ForwardFn, x: jnp.ndarray, y: jnp.ndarray,
         xn = (x_cur + cfg.momentum * (z - x_cur)
               + (1 - cfg.momentum) * (x_cur - x_prev))
         xn = jnp.clip(jnp.clip(xn, x - eps, x + eps), 0.0, 1.0)
-        _, f = loss_fn(xn, k_f)
+        _, (f, logits) = loss_fn(xn, k_f)
+        mis = jnp.argmax(logits, axis=-1) != y
+        x_adv_found = jnp.where(mis[expand], xn, x_adv_found)
+        found = found | mis
 
+        # halving counter: SUCCESSIVE loss increases f_i > f_{i-1}
+        # (official check_oscillation), not improvements over the best
+        n_incr = n_incr + (f > f_prev).astype(jnp.int32)
         improved = f > f_best
-        n_improved = n_improved + improved.astype(jnp.int32)
         x_best = jnp.where(improved[expand], xn, x_best)
         f_best = jnp.maximum(f, f_best)
-        x_prev, x_cur = x_cur, xn
+        x_prev, x_cur, f_prev = x_cur, xn, f
 
         def at_ckpt(args):
-            (x_prev, x_cur, alpha, n_improved, f_best_last, alpha_last) = args
-            cond1 = n_improved.astype(jnp.float32) < cfg.rho * interval_t[step + 1]
-            cond2 = (alpha_last == alpha) & (f_best_last >= f_best)
+            (x_prev, x_cur, alpha, n_incr, f_best_last, halved_last) = args
+            # official conditions (autopgd_base.py): halve when the window's
+            # successive-increase count is <= rho * window, OR when the last
+            # checkpoint did NOT halve and the best loss has not improved
+            cond1 = (n_incr.astype(jnp.float32)
+                     <= cfg.rho * interval_t[step + 1])
+            cond2 = (~halved_last) & (f_best_last >= f_best)
             halve = cond1 | cond2
             alpha = jnp.where(halve, alpha / 2.0, alpha)
+            # restart the search at the best point; x_prev is NOT reset
+            # (official keeps x_adv_old, so the first post-restart momentum
+            # term references the pre-restart iterate)
             x_cur = jnp.where(halve[expand], x_best, x_cur)
-            x_prev = jnp.where(halve[expand], x_best, x_prev)
-            return (x_prev, x_cur, alpha, jnp.zeros_like(n_improved),
-                    f_best, alpha)
+            return (x_prev, x_cur, alpha, jnp.zeros_like(n_incr),
+                    f_best, halve)
 
-        (x_prev, x_cur, alpha, n_improved, f_best_last, alpha_last) = \
+        (x_prev, x_cur, alpha, n_incr, f_best_last, halved_last) = \
             jax.lax.cond(is_ckpt_t[step + 1], at_ckpt, lambda a: a,
-                         (x_prev, x_cur, alpha, n_improved, f_best_last,
-                          alpha_last))
-        return (x_prev, x_cur, x_best, f_best, alpha, n_improved,
-                f_best_last, alpha_last)
+                         (x_prev, x_cur, alpha, n_incr, f_best_last,
+                          halved_last))
+        return (x_prev, x_cur, x_best, f_best, alpha, n_incr, f_prev,
+                f_best_last, halved_last, found, x_adv_found)
 
-    st = (x0, x1, x_best, f_best, alpha, improved.astype(jnp.int32),
-          f_best, alpha)
+    # counter seed f1 > 0: the official first-window check_oscillation
+    # compares loss_steps[0] against the zero-initialized loss_steps[-1]
+    # (numpy wrap-around) — an implementation quirk reproduced exactly
+    st = (x0, x1, x_best, f_best, alpha,
+          (f1 > 0).astype(jnp.int32), f1, f_best,
+          jnp.zeros((x.shape[0],), bool), found, x_adv_found)
     st = jax.lax.fori_loop(1, cfg.num_steps, body, st)
-    return st[2]
+    (_, _, x_best, f_best, alpha, _, _, _, _, found, x_adv_found) = st
+    # found -> the official return (latest misclassified iterate); otherwise
+    # the max-loss iterate (strictly stronger than the official's untouched
+    # init fallback — can only lower measured robust accuracy)
+    out = jnp.where(found[expand], x_adv_found, x_best)
+    if return_info:
+        return out, {"alpha": alpha, "f_best": f_best, "found": found,
+                     "x_best": x_best}
+    return out
 
 
 # --------------------------------------------------------------------------
