@@ -65,6 +65,15 @@ def ee_frontend(x: jnp.ndarray, cfg: EEConfig,
     Canny variants — used for the learned U2-Net extractor (the reference
     instantiates U2NETP inside ResNet_EE as the alternative edge source,
     resnet_EE.py:130-131)."""
+    # fully-fused Pallas path: add_square + HFS + canny + clamp as ONE
+    # fwd/adjoint kernel pair (ops/pallas/ee_fused.py); RNG-identical to the
+    # unfused path (same add_square draw sequence)
+    if (cfg.fused and cfg.type_canny == "CannyFilter_step125_1"
+            and not cfg.with_gf and edge_map is None
+            and (not cfg.square or cfg.n_queries == 1)):
+        from ..ops.pallas.ee_fused import ee_frontend_fused
+        return ee_frontend_fused(x, cfg, square_key)
+
     if cfg.square:
         if square_key is None:
             raise ValueError("EEConfig.square=True requires a PRNG key")

@@ -1,0 +1,317 @@
+"""Fully-fused Pallas TPU kernel pair for the EE defense front-end.
+
+One VMEM-resident forward pass per batch tile computes the ENTIRE front-end
+of the flagship models (reference resnet_EE_square.forward,
+Tiny_ImageNet/models_tinyimagenet/resnet_EE_square.py + utils/core.py):
+
+    xs   = add_square(x)                       (square variants; n_queries=1)
+    hfs  = HighFreqSuppress(xs)                (separable-mask MXU sandwich)
+    edge = CannyFilter_step125_1(x)            (blur -> sobel -> |g| -> STE)
+    out  = clip(hfs + w * edge, 0, 1)
+
+and the backward kernel is the HAND-DERIVED exact adjoint of that chain
+under jax's own subgradient conventions (clip: 0.5 at exact boundaries;
+min/max: 0.5 at ties — verified against jax.grad), including the
+ball-projection paths through which gradient flows into x via the x±eps
+bounds, the STE To_compare mask, the alpha gate, the zero-at-zero magnitude
+rule, and the transposed edge-padded stencils. Residuals are just (x, y):
+the cheap VPU chain is recomputed in the backward instead of spilling
+mag/gx/gy to HBM (the round-1 forward-only kernel lost to XLA precisely on
+that residual traffic).
+
+The random square draws happen OUTSIDE the kernel with the exact
+`add_square` key sequence (ops/square.add_square_draws), so fused and
+unfused paths are RNG-identical. Layout: (B, C, H, W) blocks — W on lanes,
+H on sublanes; shifts are lane/sublane moves, the HFS matmuls run on the
+MXU with f32 accumulation and the same intermediate-dtype casts as the
+jnp path (ops/hfs.py)."""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..filters import gaussian_kernel, sobel_kernel
+from ..hfs import _hfs_axis_operators
+from ..square import add_square_draws
+from .canny_fused import (_apply_taps_adjoint, _apply_taps_edge,
+                          _interpret, _stencil_taps)
+
+
+def _clip01(v):
+    return jnp.clip(v, 0.0, 1.0)
+
+
+def _clip_mask(v):
+    """d clip(v,0,1)/dv under jax's convention: 1 inside, 0.5 at an exact
+    boundary, 0 outside."""
+    inside = ((v > 0.0) & (v < 1.0)).astype(v.dtype)
+    edge = ((v == 0.0) | (v == 1.0)).astype(v.dtype)
+    return inside + 0.5 * edge
+
+
+def _max_masks(a, b):
+    """(d max/d a, d max/d b) with the 0.5 tie split."""
+    tie = (a == b).astype(a.dtype)
+    return ((a > b).astype(a.dtype) + 0.5 * tie,
+            (b > a).astype(a.dtype) + 0.5 * tie)
+
+
+def _min_masks(a, b):
+    tie = (a == b).astype(a.dtype)
+    return ((a < b).astype(a.dtype) + 0.5 * tie,
+            (b < a).astype(a.dtype) + 0.5 * tie)
+
+
+def _square_forward(x, stripes, sq_delta, eps):
+    """add_square (n_queries=1) on an NCHW block; returns xs."""
+    t2 = _clip01(x + eps * stripes)
+    t3 = t2 + sq_delta
+    t5 = jnp.minimum(jnp.maximum(t3, x - eps), x + eps)
+    return _clip01(t5)
+
+
+def _square_backward(u_xs, x, stripes, sq_delta, eps):
+    """Adjoint of `_square_forward` w.r.t. x (stripes/delta are constants).
+    Gradient reaches x through BOTH the perturbation chain and the
+    projection bounds x±eps (the reference differentiates through the
+    clamps; ops/square.py docstring)."""
+    t1 = x + eps * stripes
+    t2 = _clip01(t1)
+    t3 = t2 + sq_delta
+    xl, xh = x - eps, x + eps
+    t4 = jnp.maximum(t3, xl)
+    t5 = jnp.minimum(t4, xh)
+    u_t5 = u_xs * _clip_mask(t5)
+    d_t4, d_xh = _min_masks(t4, xh)
+    u_t4 = u_t5 * d_t4
+    d_t3, d_xl = _max_masks(t3, xl)
+    u_t1 = u_t4 * d_t3 * _clip_mask(t1)
+    return u_t1 + u_t5 * d_xh + u_t4 * d_xl
+
+
+def _hfs_sandwich(xs2, a_mat, b_mat, dtype):
+    """A @ X @ B^T per leading index, mirroring ops/hfs.py's einsum order
+    and its intermediate cast to the compute dtype. xs2: (N, H, W)."""
+    t = jax.lax.dot_general(a_mat, xs2, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (A, N, W)
+    t = t.astype(dtype)
+    s = jax.lax.dot_general(t, b_mat, (((2,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (A, N, B)
+    return jnp.transpose(s, (1, 0, 2))                           # (N, A, B)
+
+
+def _hfs_sandwich_adjoint(u2, a_mat, b_mat, dtype):
+    """Adjoint of `_hfs_sandwich` w.r.t. X, mirroring the jnp chain's vjp
+    dtype casts. u2: (N, A, B) in `dtype`."""
+    ut = jnp.transpose(u2, (1, 0, 2))                            # (A, N, B)
+    dt = jax.lax.dot_general(ut, b_mat, (((2,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (A, N, W)
+    dt = dt.astype(dtype)
+    dx = jax.lax.dot_general(a_mat, dt, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (H, N, W)
+    return jnp.transpose(dx, (1, 0, 2))                          # (N, H, W)
+
+
+def _canny125_forward(x, g_taps, sx_taps, sy_taps, alpha, high, channels):
+    """blur -> channel-summed sobel -> safe |g| -> alpha mask -> hard
+    threshold, on an NCHW block (ops/canny.py::canny_step125)."""
+    blurred = _apply_taps_edge(x, g_taps)
+    summed = jnp.sum(blurred, axis=1, keepdims=True)
+    gx = _apply_taps_edge(summed, sx_taps) / channels
+    gy = _apply_taps_edge(summed, sy_taps) / channels
+    v = gx * gx + gy * gy
+    zero = v == 0.0
+    mag = jnp.where(zero, 0.0, jnp.sqrt(jnp.where(zero, 1.0, v)))
+    mag_m = jnp.where(mag < alpha, 0.0, mag)
+    edge = (mag_m > high).astype(x.dtype)
+    return edge, mag, gx, gy
+
+
+def _canny125_backward(u_edge, mag, gx, gy, g_taps, sx_taps, sy_taps,
+                       alpha, high, channels):
+    mag_m = jnp.where(mag < alpha, 0.0, mag)
+    keep = (mag_m > high) & (mag_m <= 1.001)      # To_compare STE window
+    u_mag = jnp.where(keep & (mag >= alpha), u_edge, 0.0)
+    inv_mag = jnp.where(mag == 0.0, 0.0,
+                        1.0 / jnp.where(mag == 0.0, 1.0, mag))
+    u_gx = u_mag * gx * inv_mag
+    u_gy = u_mag * gy * inv_mag
+    u_summed = (_apply_taps_adjoint(u_gx, sx_taps)
+                + _apply_taps_adjoint(u_gy, sy_taps)) / channels
+    u_blurred = jnp.broadcast_to(
+        u_summed, (u_summed.shape[0], channels) + u_summed.shape[2:])
+    return _apply_taps_adjoint(u_blurred, g_taps)
+
+
+def _fwd_kernel(x_ref, stripes_ref, sqd_ref, ar_ref, ai_ref, br_ref, bi_ref,
+                out_ref, y_ref, *, g_taps, sx_taps, sy_taps, eps, w, alpha,
+                high, channels, square):
+    x = x_ref[:]                                         # (Bt, C, H, W)
+    bt, c, h, wdim = x.shape
+    xs = (_square_forward(x, stripes_ref[:], sqd_ref[:], eps)
+          if square else x)
+    xs2 = xs.reshape(bt * c, h, wdim)
+    hfs = (_hfs_sandwich(xs2, ar_ref[:], br_ref[:], x.dtype)
+           - _hfs_sandwich(xs2, ai_ref[:], bi_ref[:], x.dtype))
+    hfs = hfs.astype(x.dtype).reshape(bt, c, h, wdim)
+    edge, _, _, _ = _canny125_forward(x, g_taps, sx_taps, sy_taps,
+                                      alpha, high, channels)
+    y = hfs + jnp.asarray(w, x.dtype) * edge             # edge bcast over C
+    out_ref[:] = _clip01(y)
+    y_ref[:] = y
+
+
+def _bwd_kernel(u_ref, x_ref, stripes_ref, sqd_ref, y_ref, ar_ref, ai_ref,
+                br_ref, bi_ref, dx_ref, *, g_taps, sx_taps, sy_taps, eps, w,
+                alpha, high, channels, square):
+    u = u_ref[:]
+    x = x_ref[:]
+    y = y_ref[:]
+    bt, c, h, wdim = x.shape
+    u_y = u * _clip_mask(y)                              # x.dtype
+
+    # HFS branch -> d xs -> through the square chain -> dx
+    u2 = u_y.reshape(bt * c, h, wdim)
+    dxs = (_hfs_sandwich_adjoint(u2, ar_ref[:], br_ref[:], x.dtype)
+           - _hfs_sandwich_adjoint(u2, ai_ref[:], bi_ref[:], x.dtype))
+    dxs = dxs.astype(x.dtype).reshape(bt, c, h, wdim)
+    dx_hfs = (_square_backward(dxs, x, stripes_ref[:], sqd_ref[:], eps)
+              if square else dxs)
+
+    # Canny branch (VPU chain recomputed — cheaper than spilling residuals)
+    _, mag, gx, gy = _canny125_forward(x, g_taps, sx_taps, sy_taps,
+                                       alpha, high, channels)
+    u_edge = jnp.asarray(w, x.dtype) * jnp.sum(u_y, axis=1, keepdims=True)
+    dx_canny = _canny125_backward(u_edge, mag, gx, gy, g_taps, sx_taps,
+                                  sy_taps, alpha, high, channels)
+    dx_ref[:] = (dx_hfs + dx_canny).astype(x.dtype)
+
+
+def _taps(sigma):
+    sob = sobel_kernel(3)
+    return (_stencil_taps(gaussian_kernel(3, 0.0, sigma)),
+            _stencil_taps(sob), _stencil_taps(sob.T))
+
+
+def _specs(bt, c, h, w, square):
+    img = pl.BlockSpec((bt, c, h, w), lambda i: (i, 0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    if square:
+        stripes = pl.BlockSpec((bt, c, 1, w), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    else:
+        stripes = pl.BlockSpec((1, 1, 1, 1), lambda i: (0, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    sqd = pl.BlockSpec((1, c, h, w), lambda i: (0, 0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    mat_h = pl.BlockSpec((h, h), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    mat_w = pl.BlockSpec((w, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return img, stripes, sqd, mat_h, mat_w
+
+
+# nondiff: r, eps, w, alpha, high, sigma, batch_tile, square
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
+def _ee_fused(x, stripes, sq_delta, r: int, eps: float, w: float,
+              alpha: float, high: float, sigma: float, batch_tile: int,
+              square: bool):
+    out, _ = _ee_fused_fwd_impl(x, stripes, sq_delta, r, eps, w, alpha,
+                                high, sigma, batch_tile, square)
+    return out
+
+
+def _ee_fused_fwd_impl(x, stripes, sq_delta, r, eps, w, alpha, high, sigma,
+                       batch_tile, square):
+    b, h, wdim, c = x.shape
+    xn = jnp.transpose(x, (0, 3, 1, 2))                 # (B, C, H, W)
+    stripes_n = stripes.astype(x.dtype)
+    sqd_n = sq_delta.astype(x.dtype)
+    ar, ai, br, bi = (jnp.asarray(m, x.dtype)
+                      for m in _hfs_axis_operators(h, wdim, r))
+    g_taps, sx_taps, sy_taps = _taps(sigma)
+    bt = min(batch_tile, b)
+    img, st_spec, sqd_spec, mat_h, mat_w = _specs(bt, c, h, wdim, square)
+    kernel = functools.partial(_fwd_kernel, g_taps=g_taps, sx_taps=sx_taps,
+                               sy_taps=sy_taps, eps=eps, w=w, alpha=alpha,
+                               high=high, channels=c, square=square)
+    out, y = pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(b, bt),),
+        in_specs=[img, st_spec, sqd_spec, mat_h, mat_h, mat_w, mat_w],
+        out_specs=(img, img),
+        out_shape=(jax.ShapeDtypeStruct((b, c, h, wdim), x.dtype),
+                   jax.ShapeDtypeStruct((b, c, h, wdim), x.dtype)),
+        interpret=_interpret(),
+    )(xn, stripes_n, sqd_n, ar, ai, br, bi)
+    return jnp.transpose(out, (0, 2, 3, 1)), (xn, stripes_n, sqd_n, y)
+
+
+def _ee_fused_fwd(x, stripes, sq_delta, r, eps, w, alpha, high, sigma,
+                  batch_tile, square):
+    out, res = _ee_fused_fwd_impl(x, stripes, sq_delta, r, eps, w, alpha,
+                                  high, sigma, batch_tile, square)
+    return out, res
+
+
+def _ee_fused_bwd(r, eps, w, alpha, high, sigma, batch_tile, square, res, u):
+    xn, stripes_n, sqd_n, y = res
+    b, c, h, wdim = xn.shape
+    dtype = xn.dtype
+    ar, ai, br, bi = (jnp.asarray(m, dtype)
+                      for m in _hfs_axis_operators(h, wdim, r))
+    g_taps, sx_taps, sy_taps = _taps(sigma)
+    bt = min(batch_tile, b)
+    img, st_spec, sqd_spec, mat_h, mat_w = _specs(bt, c, h, wdim, square)
+    kernel = functools.partial(_bwd_kernel, g_taps=g_taps, sx_taps=sx_taps,
+                               sy_taps=sy_taps, eps=eps, w=w, alpha=alpha,
+                               high=high, channels=c, square=square)
+    u_n = jnp.transpose(u, (0, 3, 1, 2)).astype(dtype)
+    dx = pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(b, bt),),
+        in_specs=[img, img, st_spec, sqd_spec, img, mat_h, mat_h, mat_w,
+                  mat_w],
+        out_specs=img,
+        out_shape=jax.ShapeDtypeStruct((b, c, h, wdim), dtype),
+        interpret=_interpret(),
+    )(u_n, xn, stripes_n, sqd_n, y, ar, ai, br, bi)
+    # stripes/sq_delta are random constants w.r.t. the attack gradient
+    return (jnp.transpose(dx, (0, 2, 3, 1)),
+            jnp.zeros(stripes_n.shape, dtype),
+            jnp.zeros(sqd_n.shape, dtype))
+
+
+_ee_fused.defvjp(_ee_fused_fwd, _ee_fused_bwd)
+
+
+def ee_frontend_fused(x: jnp.ndarray, cfg, square_key: Optional[jax.Array],
+                      batch_tile: int = 8) -> jnp.ndarray:
+    """Drop-in fused replacement for `ee_frontend` (square / plain variants
+    with the step125 canny). The caller guards applicability: only invoke
+    for type_canny == 'CannyFilter_step125_1', with_gf == False, no
+    edge_map."""
+    b, h, w, c = x.shape
+    if cfg.square:
+        if square_key is None:
+            raise ValueError("square=True requires a PRNG key")
+        stripes4, sq_mask, ch_sign = add_square_draws(
+            square_key, x.shape, epsilon=cfg.epsilon,
+            n_queries=cfg.n_queries)
+        # kernel layout: stripes (B, C, 1, W); additive square (1, C, H, W).
+        # Cast to x.dtype HERE so the custom_vjp primal/cotangent dtypes line
+        # up (the kernel computes in x.dtype anyway).
+        stripes = jnp.transpose(stripes4, (0, 3, 1, 2)).astype(x.dtype)
+        sq_delta = (2.0 * cfg.epsilon
+                    * jnp.transpose(ch_sign, (0, 3, 1, 2))
+                    * sq_mask[None, None, :, :]).astype(x.dtype)
+    else:
+        stripes = jnp.zeros((1, 1, 1, 1), x.dtype)
+        sq_delta = jnp.zeros((1, c, h, w), x.dtype)
+    return _ee_fused(x, stripes, sq_delta, int(cfg.r), float(cfg.epsilon),
+                     float(cfg.w), float(cfg.alpha), float(cfg.high_scaled),
+                     float(cfg.sigma), batch_tile, bool(cfg.square))

@@ -42,6 +42,30 @@ def _random_sign(key, shape):
     return jnp.sign(2.0 * jax.random.uniform(key, shape) - 1.0)
 
 
+def add_square_draws(key: jax.Array, shape, *, epsilon: float = 0.05,
+                     p_init: float = 0.8, n_queries: int = 1,
+                     rescale_schedule: bool = False):
+    """The EXACT random-draw sequence of `add_square` for n_queries == 1,
+    returned as explicit arrays so a fused kernel can consume them:
+    (stripes (B,1,W,C), square_mask (H,W), channel_sign (1,1,1,C)).
+    Bit-identical to the draws add_square makes internally (same key splits,
+    same order), so the fused and unfused paths see the same randomness."""
+    if n_queries != 1:
+        raise ValueError("draw extraction only supports n_queries == 1")
+    b, h, w, c = shape
+    key_init, key_loop = jax.random.split(key)
+    stripes = _random_sign(key_init, (b, 1, w, c))
+    _, key_pos, key_sgn = jax.random.split(key_loop, 3)
+    p = p_selection(0, p_init, n_queries, rescale_schedule)
+    s = max(int(round(math.sqrt(p * (c * h * h) / c))), 1)
+    vh = jnp.floor(jax.random.uniform(key_pos) * (h - s)).astype(jnp.int32)
+    rows = jnp.arange(h)
+    in_span = (rows >= vh) & (rows < vh + s)
+    square_mask = (in_span[:, None] & in_span[None, :]).astype(jnp.float32)
+    channel_sign = _random_sign(key_sgn, (1, 1, 1, c))
+    return stripes, square_mask, channel_sign
+
+
 def add_square(x: jnp.ndarray, key: jax.Array, *,
                epsilon: float = 0.05,
                p_init: float = 0.8,
