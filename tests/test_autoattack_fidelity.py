@@ -50,27 +50,30 @@ def test_apgd_checkpoint_schedule_official_goldens():
 # 2. full-trajectory mirror of the official APGD on a linear+CE model
 # --------------------------------------------------------------------------
 
-def _mirror_official_apgd(W, b, xf, y, eps, n_iter, t, rho=0.75, mom=0.75):
+def _mirror_official_apgd(W, b, xf, y, eps, n_iter, t, rho=0.75, mom=0.75,
+                          per_loss=None, grad=None):
     """Official autopgd_base.py attack_single_run, transcribed to numpy for
-    a deterministic linear model with (sum-)CE loss. Returns the final
-    x_best, f_best, per-sample step sizes, and the halve-decision log."""
+    a deterministic linear model with (sum-)CE loss (or a supplied
+    loss/grad pair). Returns the final x_best, f_best, per-sample step
+    sizes, and the halve-decision log."""
     B = xf.shape[0]
     y_idx = (np.arange(B), y)
 
-    def per_loss(z):
-        logits = (z @ W + b).astype(np.float32)
-        m = logits.max(axis=1, keepdims=True)
-        lse = m + np.log(np.exp(logits - m).sum(axis=1, keepdims=True))
-        return -(logits - lse)[y_idx]
+    if per_loss is None:
+        def per_loss(z):
+            logits = (z @ W + b).astype(np.float32)
+            m = logits.max(axis=1, keepdims=True)
+            lse = m + np.log(np.exp(logits - m).sum(axis=1, keepdims=True))
+            return -(logits - lse)[y_idx]
 
-    def grad(z):
-        logits = (z @ W + b).astype(np.float32)
-        m = logits.max(axis=1, keepdims=True)
-        p = np.exp(logits - m)
-        p /= p.sum(axis=1, keepdims=True)
-        gl = -p.copy()
-        gl[y_idx] += 1.0
-        return (-gl @ W.T).astype(np.float32)    # d(sum CE)/dz
+        def grad(z):
+            logits = (z @ W + b).astype(np.float32)
+            m = logits.max(axis=1, keepdims=True)
+            p = np.exp(logits - m)
+            p /= p.sum(axis=1, keepdims=True)
+            gl = -p.copy()
+            gl[y_idx] += 1.0
+            return (-gl @ W.T).astype(np.float32)    # d(sum CE)/dz
 
     def proj(z):
         return np.clip(np.clip(z, xf - eps, xf + eps), 0.0, 1.0)
@@ -148,6 +151,54 @@ def test_apgd_matches_official_mirror_on_linear_model():
         np.asarray(info["x_best"]).reshape(B, -1), xb_m, atol=2e-5)
     # the schedule actually exercised halving on this instance
     assert any(h.any() for h in halve_log)
+    assert len(halve_log) == len(_apgd_checkpoints(N))
+
+
+def test_apgd_targeted_dlr_matches_official_mirror():
+    """Same control-flow mirror, targeted-DLR loss (APGD-T — the attack
+    behind most of the suite's robust-accuracy signal). The loss/grad
+    primitives are shared with the implementation (they're formula-tested
+    elsewhere); what this pins is the scheduling around them."""
+    from edge_enhancement_tpu.attacks.autoattack import _dlr_targeted
+
+    B, D, NC, EPS, N = 6, 12, 6, 0.08, 25
+    rng = np.random.default_rng(23)
+    W = rng.standard_normal((D, NC)).astype(np.float32)
+    b = rng.standard_normal(NC).astype(np.float32)
+    x = rng.random((B, 3, 2, 2)).astype(np.float32) * 0.6 + 0.2
+    y = rng.integers(0, NC, B).astype(np.int32)
+    yt = ((y + 1 + rng.integers(0, NC - 1, B)) % NC).astype(np.int32)
+
+    def fwd(xx, kk):
+        return xx.reshape(xx.shape[0], -1) @ jnp.asarray(W) + jnp.asarray(b)
+
+    cfg = APGDConfig(EPS, N, NC)
+    key = jax.random.PRNGKey(5)
+    out, info = apgd(fwd, jnp.asarray(x), jnp.asarray(y), key, cfg,
+                     y_target=jnp.asarray(yt), return_info=True)
+    key2, k0, k1, k2 = jax.random.split(key, 4)
+    t = np.asarray(jax.random.uniform(k0, x.shape, minval=-1.0, maxval=1.0))
+
+    def per_loss(z):
+        logits = jnp.asarray(z.reshape(B, -1) @ W + b)
+        return np.asarray(_dlr_targeted(logits, jnp.asarray(y),
+                                        jnp.asarray(yt)))
+
+    grad_j = jax.jit(jax.grad(lambda z: jnp.sum(_dlr_targeted(
+        z @ jnp.asarray(W) + jnp.asarray(b), jnp.asarray(y),
+        jnp.asarray(yt)))))
+
+    def grad(z):
+        return np.asarray(grad_j(jnp.asarray(z)))
+
+    xb_m, fb_m, alpha_m, halve_log = _mirror_official_apgd(
+        W, b, x.reshape(B, -1), y, EPS, N, t.reshape(B, -1),
+        per_loss=per_loss, grad=grad)
+    np.testing.assert_array_equal(np.asarray(info["alpha"]), alpha_m)
+    np.testing.assert_allclose(np.asarray(info["f_best"]), fb_m, rtol=2e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(info["x_best"]).reshape(B, -1), xb_m, atol=2e-5)
     assert len(halve_log) == len(_apgd_checkpoints(N))
 
 
