@@ -47,25 +47,52 @@ def _clip01(v):
     return jnp.clip(v, 0.0, 1.0)
 
 
+def _f32(v):
+    return v.astype(jnp.float32) if hasattr(v, "astype") else v
+
+
+def _feq(a, b):
+    """Comparisons run on f32 operands throughout this module: Mosaic on
+    v5e rejects bf16 compares ("Target does not support this comparison")
+    and the bf16->f32 cast is exact, so f32 compares are equivalent."""
+    return _f32(a) == _f32(b)
+
+
+def _fgt(a, b):
+    return _f32(a) > _f32(b)
+
+
+def _flt(a, b):
+    return _f32(a) < _f32(b)
+
+
+def _fge(a, b):
+    return _f32(a) >= _f32(b)
+
+
+def _fle(a, b):
+    return _f32(a) <= _f32(b)
+
+
 def _clip_mask(v):
     """d clip(v,0,1)/dv under jax's convention: 1 inside, 0.5 at an exact
     boundary, 0 outside."""
-    inside = ((v > 0.0) & (v < 1.0)).astype(v.dtype)
-    edge = ((v == 0.0) | (v == 1.0)).astype(v.dtype)
+    inside = (_fgt(v, 0.0) & _flt(v, 1.0)).astype(v.dtype)
+    edge = (_feq(v, 0.0) | _feq(v, 1.0)).astype(v.dtype)
     return inside + 0.5 * edge
 
 
 def _max_masks(a, b):
     """(d max/d a, d max/d b) with the 0.5 tie split."""
-    tie = (a == b).astype(a.dtype)
-    return ((a > b).astype(a.dtype) + 0.5 * tie,
-            (b > a).astype(a.dtype) + 0.5 * tie)
+    tie = _feq(a, b).astype(a.dtype)
+    return (_fgt(a, b).astype(a.dtype) + 0.5 * tie,
+            _fgt(b, a).astype(a.dtype) + 0.5 * tie)
 
 
 def _min_masks(a, b):
-    tie = (a == b).astype(a.dtype)
-    return ((a < b).astype(a.dtype) + 0.5 * tie,
-            (b < a).astype(a.dtype) + 0.5 * tie)
+    tie = _feq(a, b).astype(a.dtype)
+    return (_flt(a, b).astype(a.dtype) + 0.5 * tie,
+            _flt(b, a).astype(a.dtype) + 0.5 * tie)
 
 
 def _square_forward(x, stripes, sq_delta, eps):
@@ -95,27 +122,33 @@ def _square_backward(u_xs, x, stripes, sq_delta, eps):
     return u_t1 + u_t5 * d_xh + u_t4 * d_xl
 
 
+def _bmm(lhs, rhs):
+    """Standard batched matmul (b,m,k)x(b,k,n) — the only 3-D dot_general
+    form Mosaic lowers natively (middle-dim contractions without batch dims
+    fail with 'unsupported shape cast')."""
+    return jax.lax.dot_general(lhs, rhs, (((2,), (1,)), ((0,), (0,))),
+                               preferred_element_type=jnp.float32)
+
+
 def _hfs_sandwich(xs2, a_mat, b_mat, dtype):
     """A @ X @ B^T per leading index, mirroring ops/hfs.py's einsum order
-    and its intermediate cast to the compute dtype. xs2: (N, H, W)."""
-    t = jax.lax.dot_general(a_mat, xs2, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # (A, N, W)
-    t = t.astype(dtype)
-    s = jax.lax.dot_general(t, b_mat, (((2,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # (A, N, B)
-    return jnp.transpose(s, (1, 0, 2))                           # (N, A, B)
+    (A-contraction first) and its intermediate cast to the compute dtype.
+    xs2: (N, H, W); returns (N, A, B)."""
+    n = xs2.shape[0]
+    a_b = jnp.broadcast_to(a_mat[None], (n,) + a_mat.shape)
+    bt_b = jnp.broadcast_to(b_mat.T[None], (n,) + b_mat.T.shape)
+    t = _bmm(a_b, xs2).astype(dtype)                 # (N, A, W)
+    return _bmm(t, bt_b)                             # (N, A, B) f32
 
 
 def _hfs_sandwich_adjoint(u2, a_mat, b_mat, dtype):
     """Adjoint of `_hfs_sandwich` w.r.t. X, mirroring the jnp chain's vjp
-    dtype casts. u2: (N, A, B) in `dtype`."""
-    ut = jnp.transpose(u2, (1, 0, 2))                            # (A, N, B)
-    dt = jax.lax.dot_general(ut, b_mat, (((2,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)  # (A, N, W)
-    dt = dt.astype(dtype)
-    dx = jax.lax.dot_general(a_mat, dt, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)  # (H, N, W)
-    return jnp.transpose(dx, (1, 0, 2))                          # (N, H, W)
+    dtype casts. u2: (N, A, B) in `dtype`; returns (N, H, W) f32."""
+    n = u2.shape[0]
+    b_b = jnp.broadcast_to(b_mat[None], (n,) + b_mat.shape)
+    at_b = jnp.broadcast_to(a_mat.T[None], (n,) + a_mat.T.shape)
+    dt = _bmm(u2, b_b).astype(dtype)                 # (N, A, W)
+    return _bmm(at_b, dt)                            # (N, H, W) f32
 
 
 def _canny125_forward(x, g_taps, sx_taps, sy_taps, alpha, high, channels):
@@ -123,23 +156,28 @@ def _canny125_forward(x, g_taps, sx_taps, sy_taps, alpha, high, channels):
     threshold, on an NCHW block (ops/canny.py::canny_step125)."""
     blurred = _apply_taps_edge(x, g_taps)
     summed = jnp.sum(blurred, axis=1, keepdims=True)
-    gx = _apply_taps_edge(summed, sx_taps) / channels
-    gy = _apply_taps_edge(summed, sy_taps) / channels
-    v = gx * gx + gy * gy
+    # magnitude chain in f32: this target's Mosaic path rejects bf16 EUP
+    # ops (sqrt/divide) — XLA's own bf16 lowering upcasts the same way
+    gxf = _f32(_apply_taps_edge(summed, sx_taps)) / channels
+    gyf = _f32(_apply_taps_edge(summed, sy_taps)) / channels
+    v = gxf * gxf + gyf * gyf
     zero = v == 0.0
     mag = jnp.where(zero, 0.0, jnp.sqrt(jnp.where(zero, 1.0, v)))
     mag_m = jnp.where(mag < alpha, 0.0, mag)
     edge = (mag_m > high).astype(x.dtype)
-    return edge, mag, gx, gy
+    return edge, mag, gxf, gyf
 
 
 def _canny125_backward(u_edge, mag, gx, gy, g_taps, sx_taps, sy_taps,
                        alpha, high, channels):
+    # mag/gx/gy arrive as f32 (see _canny125_forward); run the whole
+    # adjoint in f32 and cast at the caller
     mag_m = jnp.where(mag < alpha, 0.0, mag)
     keep = (mag_m > high) & (mag_m <= 1.001)      # To_compare STE window
-    u_mag = jnp.where(keep & (mag >= alpha), u_edge, 0.0)
-    inv_mag = jnp.where(mag == 0.0, 0.0,
-                        1.0 / jnp.where(mag == 0.0, 1.0, mag))
+    u_mag = jnp.where(keep & (mag >= alpha), _f32(u_edge), 0.0)
+    mag_zero = mag == 0.0
+    inv_mag = jnp.where(mag_zero, 0.0,
+                        1.0 / jnp.where(mag_zero, 1.0, mag))
     u_gx = u_mag * gx * inv_mag
     u_gy = u_mag * gy * inv_mag
     u_summed = (_apply_taps_adjoint(u_gx, sx_taps)

@@ -40,6 +40,8 @@ def capture(out_dir: str):
                 epsilon=0.0627, n_queries=1, cize=cize)
     if os.environ.get("EE_PROF_DTYPE"):
         args["dtype"] = os.environ["EE_PROF_DTYPE"]
+    if os.environ.get("EE_PROF_FUSED"):
+        args["fused_canny"] = True
     ops = ModelOps(build_model(arch, args, spec.num_classes))
     mesh = meshlib.make_mesh()
     ds = synthetic_dataset(spec, batch, seed=0)
