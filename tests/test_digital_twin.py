@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
 from digital_twin import (RECIPE, _install_reference_shims,  # noqa: E402
                           make_dataset, run_ours, run_reference)
 
-EPOCHS, NTRAIN, NVAL, STEPS = 3, 600, 200, 10
+EPOCHS, NTRAIN, NVAL, STEPS = 5, 600, 200, 10
 
 
 @pytest.mark.slow
@@ -83,13 +83,16 @@ def test_digital_twin_mini(tmp_path):
 
     ours = run_ours(data_dir, ref["init_pth"], EPOCHS, STEPS, seed=1)
 
-    # both sides LEARN the task (well above the 10% random floor)
-    assert ref["history"]["clean"][-1] >= 40.0, ref["history"]
-    assert ours["history"]["clean"][-1] >= 40.0, ours["history"]
-    assert max(ref["history"]["adv"]) > 10.0
-    assert max(ours["history"]["adv"]) > 10.0
-    # trajectories agree within a band sized for this tiny noisy regime
-    # (600 samples / 3 epochs / dropout nets; the full 10-epoch 2000-sample
-    # run in docs/TWIN.md carries the tight comparison)
-    gap = abs(ref["history"]["clean"][-1] - ours["history"]["clean"][-1])
-    assert gap <= 35.0, (gap, ref["history"], ours["history"])
+    # mid-training AT on a dropout net is chaotic (the full-length run in
+    # docs/TWIN.md shows a ~18-point seed band pre-convergence and <1-point
+    # agreement at convergence, which this shortened run can't reach for
+    # the torch side) — so compare best-over-epochs capability, which is
+    # stable against the per-epoch wobble, plus learnability floors
+    ref_best = max(ref["history"]["clean"])
+    ours_best = max(ours["history"]["clean"])
+    assert ref_best >= 70.0, ref["history"]
+    assert ours_best >= 70.0, ours["history"]
+    assert max(ref["history"]["adv"]) > 30.0, ref["history"]
+    assert max(ours["history"]["adv"]) > 30.0, ours["history"]
+    assert abs(ref_best - ours_best) <= 25.0, \
+        (ref["history"], ours["history"])
