@@ -1,0 +1,274 @@
+#!/usr/bin/env python
+"""Digital-twin accuracy run for the HEADLINE recipe: the reference's
+Tiny-ImageNet driver (`experiments_tinyimagenet.py` train()/validate(), its
+PGD / ResNet18_EE_square / SGD running unmodified on torch-CPU) vs our
+train-step stack, from identical initial weights on identical data.
+
+tools/digital_twin.py covers the MNIST flagship (Net2_EE_square); this one
+upgrades the whole-training claim to the family every BASELINE.md number is
+recorded for: `resnet18_EE_square` + `CannyFilter_step125_1` +
+`EE_BPDA3_AT_square` (Tiny_ImageNet/configs_tinyimagenet/
+ee_at_bpda3_square.yml — eps 16/255, PGD-10 step 2/255, SGD momentum 0.9
+wd 2e-4), shrunk to a learnable synthetic Tiny-ImageNet (10 of the 200
+classes carry signal) so the torch side finishes on one CPU core.
+
+Both sides share the same in-memory arrays (the real-layout loader path is
+already exercised by the MNIST twin's idx files and tests/test_data.py);
+shuffle orders differ by framework deliberately — step-level bit-parity is
+pinned by tests/test_step_parity_resnet.py, this measures the training
+DISTRIBUTION agreement.
+
+    python tools/digital_twin_tiny.py --epochs 8 --n-train 500 --num-steps 10
+
+Reference match: Tiny_ImageNet/experiments_tinyimagenet.py:215-313 (train),
+326-432 (validate), utils/attacks.py:12-29 (PGD).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import types
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+REF = "/root/reference"
+
+from digital_twin import _install_reference_shims  # noqa: E402
+
+# flagship TinyIN recipe (configs_tinyimagenet/ee_at_bpda3_square.yml),
+# bs shrunk 100 -> 25 to fit the CPU-only torch run
+RECIPE = dict(arch="resnet18_EE_square", method_name="EE_BPDA3_AT_square",
+              batch_size=25, lr=0.1, momentum=0.9, weight_decay=2e-4,
+              epsilon=16 / 255, step_size_1=2 / 255, random=True,
+              cize=64, r=8, w=1.0, gf=False, low=38.0, high=76.0,
+              alpha=0.0, sigma=1.0, type_canny="CannyFilter_step125_1",
+              n_queries=1)
+NUM_CLASSES = 200          # the reference model is hard-wired to 200
+SIGNAL_CLASSES = 10        # labels 0..9 carry the synthetic signal
+
+
+def synth_tiny(n: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Class c = bright 24x24 block at grid position c (+-3 px jitter) in a
+    class-keyed colour, over low noise. Separable at eps=16/255 (block
+    contrast ~0.9 vs <=0.2 background) and visible to the EE front-end:
+    HFS r=8 keeps the coarse block, canny marks its edges."""
+    rng = np.random.default_rng(seed)
+    ys = rng.integers(0, SIGNAL_CLASSES, n).astype(np.int64)
+    centers = [(14 + 18 * (c // 4), 12 + 13 * (c % 4)) for c in range(10)]
+    colors = [(1.0, 0.3, 0.3), (0.3, 1.0, 0.3), (0.3, 0.3, 1.0),
+              (1.0, 1.0, 0.3), (1.0, 0.3, 1.0), (0.3, 1.0, 1.0),
+              (1.0, 0.7, 0.3), (0.7, 0.3, 1.0), (0.3, 0.7, 0.7),
+              (0.9, 0.9, 0.9)]
+    xs = rng.uniform(0.0, 0.2, (n, 64, 64, 3)).astype(np.float32)
+    for i in range(n):
+        cy, cx = centers[ys[i]]
+        cy += rng.integers(-3, 4)
+        cx += rng.integers(-3, 4)
+        y0, x0 = max(cy - 12, 0), max(cx - 12, 0)
+        block = rng.uniform(0.85, 1.0, (24, 24, 1)) * np.asarray(colors[ys[i]])
+        xs[i, y0:y0 + 24, x0:x0 + 24] = block[:min(64 - y0, 24),
+                                              :min(64 - x0, 24)]
+    return (xs * 255).astype(np.uint8), ys
+
+
+def parse_reference_log(work_dir: str, epochs: int):
+    """Recover a finished reference run from its own log.txt (validate()
+    writes ' * Clean/Adv Prec@1' once per epoch)."""
+    log_p = os.path.join(work_dir, "log", "log.txt")
+    init_pth = os.path.join(work_dir, "init.pth")
+    if not (os.path.exists(log_p) and os.path.exists(init_pth)):
+        return None
+    clean, adv = [], []
+    for line in open(log_p):
+        if line.startswith(" * Clean Prec@1"):
+            clean.append(float(line.split()[3]))
+        elif line.startswith(" * Adv Prec@1"):
+            adv.append(float(line.split()[3]))
+    if len(clean) < epochs or len(adv) < epochs:
+        return None
+    return {"history": {"clean": clean[:epochs], "adv": adv[:epochs]},
+            "init_pth": init_pth}
+
+
+def run_reference(xs_tr, ys_tr, xs_va, ys_va, work_dir: str, epochs: int,
+                  num_steps: int, seed: int = 1) -> dict:
+    """Train with the reference driver's own train()/validate()."""
+    _install_reference_shims()
+    tiny = os.path.join(REF, "Tiny_ImageNet")
+    if tiny not in sys.path:
+        sys.path.insert(0, tiny)
+    import torch
+    import torch.nn as nn
+    import torch.optim as optim
+    from torch.utils.data import DataLoader, TensorDataset
+
+    import experiments_tinyimagenet as E
+    from models_tinyimagenet import resnet18_EE_square
+
+    r = RECIPE
+    args = types.SimpleNamespace(**r, num_steps_1=num_steps, seed=seed,
+                                 attack_method="PGD", print_freq=10 ** 9)
+    E.args = args
+    torch.manual_seed(seed)
+    model = resnet18_EE_square(
+        pretrained=False, cize=r["cize"], r=r["r"], w=r["w"],
+        with_gf=r["gf"], low=r["low"], high=r["high"], alpha=r["alpha"],
+        sigma=r["sigma"], type_canny=r["type_canny"],
+        epsilon=r["epsilon"], n_queries=r["n_queries"])
+    os.makedirs(work_dir, exist_ok=True)
+    init_pth = os.path.join(work_dir, "init.pth")
+    torch.save({"epoch": 0, "arch": r["arch"],
+                "state_dict": model.state_dict(), "best_prec1": 0.0},
+               init_pth)
+
+    optimizer = optim.SGD(model.parameters(), lr=r["lr"],
+                          momentum=r["momentum"],
+                          weight_decay=r["weight_decay"])
+    criterion = nn.CrossEntropyLoss()
+
+    def mk(x, y, shuffle):
+        xt = torch.from_numpy(x.astype(np.float32) / 255.0).permute(0, 3, 1, 2)
+        g = torch.Generator()
+        g.manual_seed(seed)
+        return DataLoader(TensorDataset(xt.contiguous(),
+                                        torch.from_numpy(y)),
+                          batch_size=r["batch_size"], shuffle=shuffle,
+                          generator=g if shuffle else None)
+
+    train_loader, val_loader = mk(xs_tr, ys_tr, True), mk(xs_va, ys_va, False)
+    log_dir = os.path.join(work_dir, "log") + os.sep
+    os.makedirs(log_dir, exist_ok=True)
+    for epoch in range(epochs):
+        E.train(train_loader, model, criterion, optimizer, epoch,
+                args.print_freq, "cpu", log_dir)
+        E.validate(val_loader, model, criterion, args.print_freq, "cpu",
+                   num_steps, r["step_size_1"], log_dir)
+    out = parse_reference_log(work_dir, epochs)
+    assert out is not None, "reference validate() wrote no summary lines"
+    return out
+
+
+def run_ours(xs_tr, ys_tr, xs_va, ys_va, init_pth: str, epochs: int,
+             num_steps: int, seed: int = 1) -> dict:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import torch
+
+    from edge_enhancement_tpu.data.datasets import ArrayDataset
+    from edge_enhancement_tpu.models.registry import build_model
+    from edge_enhancement_tpu.objectives.methods import MethodConfig
+    from edge_enhancement_tpu.train.modelops import ModelOps
+    from edge_enhancement_tpu.train.trainer import (EvalAttackConfig,
+                                                    OptimConfig,
+                                                    build_eval_step,
+                                                    build_train_step,
+                                                    create_train_state)
+    from tools.convert_torch_checkpoint import convert, resnet_name_map
+
+    r = RECIPE
+    train_ds = ArrayDataset(xs_tr, ys_tr)
+    val_ds = ArrayDataset(xs_va, ys_va)
+    cfg_args = dict(r=r["r"], w=r["w"], gf=r["gf"], low=r["low"],
+                    high=r["high"], alpha=r["alpha"], sigma=r["sigma"],
+                    type_canny=r["type_canny"], epsilon=r["epsilon"],
+                    n_queries=r["n_queries"])
+    ops = ModelOps(build_model(r["arch"], cfg_args, NUM_CLASSES))
+    state = create_train_state(ops, jax.random.PRNGKey(seed),
+                               jnp.zeros((1, 64, 64, 3)))
+    sd = torch.load(init_pth, map_location="cpu")["state_dict"]
+    params, stats, matched = convert(sd, resnet_name_map(18), state.params,
+                                     state.batch_stats)
+    # resnet18: 20 conv kernels + 20 BN x (scale,bias) + fc (kernel,bias)
+    # in params, 20 BN x (mean,var) in stats
+    assert matched == 102, matched
+    state = state.replace(params=params, batch_stats=stats)
+
+    mcfg = MethodConfig(method_name=r["method_name"], epsilon=r["epsilon"],
+                        num_steps=num_steps, step_size=r["step_size_1"],
+                        random=r["random"], num_classes=NUM_CLASSES,
+                        pre_square=False, square_epsilon=r["epsilon"],
+                        square_n_queries=r["n_queries"])
+    step = build_train_step(ops, mcfg, OptimConfig(r["momentum"],
+                                                   r["weight_decay"]))
+    eval_step = build_eval_step(ops, EvalAttackConfig(
+        "PGD", r["epsilon"], num_steps, r["step_size_1"], True, NUM_CLASSES))
+
+    key = jax.random.PRNGKey(seed)
+    hist = {"clean": [], "adv": []}
+    for epoch in range(epochs):
+        for x, y in train_ds.batches(r["batch_size"], shuffle=True,
+                                     seed=seed, epoch=epoch, as_uint8=True):
+            key, k = jax.random.split(key)
+            state, _ = step(state, jnp.asarray(x), jnp.asarray(y), k,
+                            jnp.float32(r["lr"]))
+        c1 = a1 = n = 0.0
+        ekey = jax.random.PRNGKey(seed + 777)
+        for x, y in val_ds.batches(r["batch_size"], shuffle=False, seed=0,
+                                   as_uint8=True):
+            ekey, k = jax.random.split(ekey)
+            m = jax.device_get(eval_step(state, jnp.asarray(x),
+                                         jnp.asarray(y), k))
+            c1 += m["clean_top1"] * len(y)
+            a1 += m["adv_top1"] * len(y)
+            n += len(y)
+        hist["clean"].append(float(c1 / n))
+        hist["adv"].append(float(a1 / n))
+        print(f"[ours seed{seed}] epoch {epoch}: clean "
+              f"{hist['clean'][-1]:.2f} adv {hist['adv'][-1]:.2f}",
+              flush=True)
+    return {"history": hist}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--n-train", type=int, default=500)
+    ap.add_argument("--n-val", type=int, default=250)
+    ap.add_argument("--num-steps", type=int, default=10)
+    ap.add_argument("--out", default=os.path.join(REPO, "output",
+                                                  "twin_tiny"))
+    args = ap.parse_args()
+
+    os.makedirs(args.out, exist_ok=True)
+    xs_tr, ys_tr = synth_tiny(args.n_train, seed=0)
+    xs_va, ys_va = synth_tiny(args.n_val, seed=1)
+    ref_dir = os.path.join(args.out, "ref")
+    ref = parse_reference_log(ref_dir, args.epochs)
+    if ref is not None:
+        print("=> reference run recovered from its log (skipping torch)")
+    else:
+        print("=> reference (torch) run ...")
+        ref = run_reference(xs_tr, ys_tr, xs_va, ys_va, ref_dir,
+                            args.epochs, args.num_steps, seed=1)
+    print("=> our run (same init) ...")
+    ours = run_ours(xs_tr, ys_tr, xs_va, ys_va, ref["init_pth"],
+                    args.epochs, args.num_steps, seed=1)
+    print("=> our run, second seed (noise band) ...")
+    ours2 = run_ours(xs_tr, ys_tr, xs_va, ys_va, ref["init_pth"],
+                     args.epochs, args.num_steps, seed=2)
+
+    res = {"recipe": dict(RECIPE, num_steps_1=args.num_steps,
+                          epochs=args.epochs, n_train=args.n_train),
+           "reference": ref["history"], "ours_seed1": ours["history"],
+           "ours_seed2": ours2["history"]}
+    with open(os.path.join(args.out, "twin.json"), "w") as f:
+        json.dump(res, f, indent=1)
+
+    band = max(max(abs(a - b) for a, b in zip(ours["history"][k],
+                                              ours2["history"][k]))
+               for k in ("clean", "adv"))
+    gap = max(max(abs(a - b) for a, b in zip(ours["history"][k],
+                                             ref["history"][k]))
+              for k in ("clean", "adv"))
+    print(json.dumps({"gap": gap, "band": band}))
+
+
+if __name__ == "__main__":
+    main()
