@@ -155,9 +155,14 @@ def run_reference(xs_tr, ys_tr, xs_va, ys_va, work_dir: str, epochs: int,
 
 
 def run_ours(xs_tr, ys_tr, xs_va, ys_va, init_pth: str, epochs: int,
-             num_steps: int, seed: int = 1) -> dict:
+             num_steps: int, seed: int = 1, platform: str = "cpu") -> dict:
     import jax
-    jax.config.update("jax_platforms", "cpu")
+    if platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    # else: the session default platform (the real TPU under axon) — the
+    # CPU-only torch side takes ~40 min for this recipe, the jitted steps
+    # take ~ms each on the chip; numerics differ only by backend rounding,
+    # well inside the seed band this run also measures
     import jax.numpy as jnp
     import torch
 
@@ -232,6 +237,8 @@ def main():
     ap.add_argument("--n-train", type=int, default=500)
     ap.add_argument("--n-val", type=int, default=250)
     ap.add_argument("--num-steps", type=int, default=10)
+    ap.add_argument("--ours-platform", default="cpu",
+                    choices=["cpu", "default"])
     ap.add_argument("--out", default=os.path.join(REPO, "output",
                                                   "twin_tiny"))
     args = ap.parse_args()
@@ -248,11 +255,12 @@ def main():
         ref = run_reference(xs_tr, ys_tr, xs_va, ys_va, ref_dir,
                             args.epochs, args.num_steps, seed=1)
     print("=> our run (same init) ...")
+    plat = args.ours_platform
     ours = run_ours(xs_tr, ys_tr, xs_va, ys_va, ref["init_pth"],
-                    args.epochs, args.num_steps, seed=1)
+                    args.epochs, args.num_steps, seed=1, platform=plat)
     print("=> our run, second seed (noise band) ...")
     ours2 = run_ours(xs_tr, ys_tr, xs_va, ys_va, ref["init_pth"],
-                     args.epochs, args.num_steps, seed=2)
+                     args.epochs, args.num_steps, seed=2, platform=plat)
 
     res = {"recipe": dict(RECIPE, num_steps_1=args.num_steps,
                           epochs=args.epochs, n_train=args.n_train),
