@@ -1,0 +1,100 @@
+"""CI-able TinyIN digital twin: the reference's experiments_tinyimagenet.py
+train()/validate() loop vs our stack on the headline resnet18_EE_square /
+EE_BPDA3_AT_square recipe, same data, same init (tools/digital_twin_tiny.py;
+the full-length run lives in docs/TWIN.md / output/twin_tiny/twin.json).
+
+Deterministic assertion first (converted init weights produce identical
+eval logits through the full EE front-end + ResNet18), then statistical
+ones on shortened trajectories.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+if not os.path.isdir("/root/reference"):  # pragma: no cover
+    pytest.skip("reference tree not available", allow_module_level=True)
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools"))
+
+from digital_twin import _install_reference_shims  # noqa: E402
+from digital_twin_tiny import (RECIPE, run_ours, run_reference,  # noqa: E402
+                               synth_tiny)
+
+EPOCHS, NTRAIN, NVAL, STEPS = 5, 250, 75, 3
+
+
+@pytest.mark.slow
+def test_digital_twin_tiny_mini(tmp_path, monkeypatch):
+    # rolled attack loop: numerics-identical to the unrolled one
+    # (equivalence pinned in test_attacks.py) but compiles minutes faster
+    # on 1-core CPU; scoped to this test via monkeypatch
+    monkeypatch.setenv("EE_ATTACK_UNROLL", "1")
+    xs_tr, ys_tr = synth_tiny(NTRAIN, seed=0)
+    xs_va, ys_va = synth_tiny(NVAL, seed=1)
+
+    ref = run_reference(xs_tr, ys_tr, xs_va, ys_va, str(tmp_path / "ref"),
+                        EPOCHS, STEPS, seed=1)
+
+    # deterministic: the converted INIT weights produce identical eval
+    # logits through square+HFS+canny+clamp+ResNet18 (the _square random
+    # draws differ per framework, so compare the non-square EE twin that
+    # shares every learned tensor)
+    _install_reference_shims()
+    sys.path.insert(0, "/root/reference/Tiny_ImageNet")
+    import jax
+    import jax.numpy as jnp
+    from models_tinyimagenet import resnet18_EE
+
+    from edge_enhancement_tpu.models.registry import build_model
+    from edge_enhancement_tpu.train.modelops import ModelOps
+    from edge_enhancement_tpu.train.trainer import create_train_state
+    from tools.convert_torch_checkpoint import convert, resnet_name_map
+
+    r = RECIPE
+    tmodel = resnet18_EE(pretrained=False, cize=r["cize"], r=r["r"],
+                         w=r["w"], with_gf=r["gf"], low=r["low"],
+                         high=r["high"], alpha=r["alpha"], sigma=r["sigma"],
+                         type_canny=r["type_canny"])
+    sd = torch.load(ref["init_pth"], map_location="cpu")["state_dict"]
+    tmodel.load_state_dict(sd, strict=False)
+    tmodel.eval()
+    cfg_args = dict(r=r["r"], w=r["w"], gf=r["gf"], low=r["low"],
+                    high=r["high"], alpha=r["alpha"], sigma=r["sigma"],
+                    type_canny=r["type_canny"])
+    ops = ModelOps(build_model("resnet18_EE", cfg_args, 200))
+    st = create_train_state(ops, jax.random.PRNGKey(1),
+                            jnp.zeros((1, 64, 64, 3)))
+    params, stats, matched = convert(sd, resnet_name_map(18), st.params,
+                                     st.batch_stats)
+    assert matched == 102, matched
+    x0 = xs_va[:4].astype(np.float32) / 255.0
+    lj = np.asarray(ops.logits_eval(params, stats, jnp.asarray(x0),
+                                    jax.random.PRNGKey(0)))
+    with torch.no_grad():
+        lt = tmodel(torch.from_numpy(
+            np.ascontiguousarray(x0.transpose(0, 3, 1, 2)))).numpy()
+    np.testing.assert_allclose(lj, lt, atol=2e-3)
+
+    ours = run_ours(xs_tr, ys_tr, xs_va, ys_va, ref["init_pth"],
+                    EPOCHS, STEPS, seed=1)
+
+    # both sides learn the 10-signal-class task well above the random
+    # floors (0.5% over 200 classes), and agree on best-over-epochs
+    # capability (stable against per-epoch wobble; ~50 SGD steps is past
+    # the chaotic opening — the full run in docs/TWIN.md shows ours at
+    # 90.8+ by step 20 and both sides converged by step 60 — while a
+    # 3-epoch/18-step variant measured ref 62.7 vs ours 12.0: pure
+    # early-AT variance, hence this length)
+    ref_best = max(ref["history"]["clean"])
+    ours_best = max(ours["history"]["clean"])
+    assert ref_best >= 55.0, ref["history"]
+    assert ours_best >= 55.0, ours["history"]
+    assert max(ref["history"]["adv"]) > 30.0, ref["history"]
+    assert max(ours["history"]["adv"]) > 30.0, ours["history"]
+    assert abs(ref_best - ours_best) <= 30.0, \
+        (ref["history"], ours["history"])
