@@ -16,7 +16,8 @@ number of evaluation batches:
   hyperplane-box intersection is solved by per-sample bisection over the radius
   (monotone feasibility), which is exactly vectorizable — no sorting network.
 * Square (Andriushchenko et al. 2020): random-search with the published
-  size schedule, per-sample squares.
+  size schedule; one square position/sign per query shared across the batch
+  and the still-correct gating, exactly as the official port implements it.
 
 `build_autoattack` compiles the suite once for a given forward_fn/shape;
 `run_autoattack` is the one-shot convenience wrapper.
@@ -109,14 +110,18 @@ def apgd(forward_fn: ForwardFn, x: jnp.ndarray, y: jnp.ndarray,
     expand = (slice(None),) + (None,) * (x.ndim - 1)
 
     # static per-step tables: is step+1 a checkpoint, and the interval length
-    ckpts = [c for c in _apgd_checkpoints(cfg.num_steps) if c > 1]
+    all_ckpts = _apgd_checkpoints(cfg.num_steps)
+    # a checkpoint at position 1 (any num_steps <= 9 gives n_iter_2 == 1) is
+    # folded into the pre-loop first-step bookkeeping below; the device loop
+    # only sees positions >= 2
+    ckpts = [c for c in all_ckpts if c > 1]
     is_ckpt = [False] * (cfg.num_steps + 1)
     interval = [0] * (cfg.num_steps + 1)
     # last=0: the official first window spans the full n_iter_2 steps — its
     # check_oscillation wraps around to loss_steps[-1]==0, comparing the
     # first update's loss against 0 (emulated below by seeding the counter
     # with f1 > 0)
-    last = 0
+    last = 1 if 1 in all_ckpts else 0
     for c in ckpts:
         if c <= cfg.num_steps:
             is_ckpt[c] = True
@@ -161,6 +166,26 @@ def apgd(forward_fn: ForwardFn, x: jnp.ndarray, y: jnp.ndarray,
     improved = (f1 > f0)
     x_best = jnp.where(improved[expand], x1, x0)
     f_best = jnp.maximum(f0, f1)
+
+    # counter seed f1 > 0: the official first-window check_oscillation
+    # compares loss_steps[0] against the zero-initialized loss_steps[-1]
+    # (numpy wrap-around) — an implementation quirk reproduced exactly.
+    # halved_last starts all-True, matching the official
+    # reduced_last_check init, which disables the no-improvement halving
+    # condition (cond2) at the FIRST checkpoint.
+    n_incr = (f1 > 0).astype(jnp.int32)
+    halved_last = jnp.ones((x.shape[0],), bool)
+    f_best_last = f_best
+    if 1 in all_ckpts:
+        # first checkpoint lands at position 1 (window = 1): apply it here,
+        # between the first step and the device loop. cond2 is dead at the
+        # first checkpoint (halved_last init all-True), so only the
+        # oscillation count decides.
+        halve = n_incr.astype(jnp.float32) <= cfg.rho * 1.0
+        alpha = jnp.where(halve, alpha / 2.0, alpha)
+        x1 = jnp.where(halve[expand], x_best, x1)
+        n_incr = jnp.zeros_like(n_incr)
+        halved_last = halve
 
     step_keys = jax.random.split(key, 2 * max(cfg.num_steps, 1)
                                  ).reshape(cfg.num_steps if cfg.num_steps
@@ -214,12 +239,9 @@ def apgd(forward_fn: ForwardFn, x: jnp.ndarray, y: jnp.ndarray,
         return (x_prev, x_cur, x_best, f_best, alpha, n_incr, f_prev,
                 f_best_last, halved_last, found, x_adv_found)
 
-    # counter seed f1 > 0: the official first-window check_oscillation
-    # compares loss_steps[0] against the zero-initialized loss_steps[-1]
-    # (numpy wrap-around) — an implementation quirk reproduced exactly
     st = (x0, x1, x_best, f_best, alpha,
-          (f1 > 0).astype(jnp.int32), f1, f_best,
-          jnp.zeros((x.shape[0],), bool), found, x_adv_found)
+          n_incr, f1, f_best_last,
+          halved_last, found, x_adv_found)
     st = jax.lax.fori_loop(1, cfg.num_steps, body, st)
     (_, _, x_best, f_best, alpha, _, _, _, _, found, x_adv_found) = st
     # found -> the official return (latest misclassified iterate); otherwise
@@ -299,7 +321,21 @@ def fab_targeted(forward_fn: ForwardFn, x: jnp.ndarray, y: jnp.ndarray,
                  y_target: jnp.ndarray, key: jax.Array,
                  cfg: FABConfig) -> jnp.ndarray:
     """FAB-T toward y_target. Returns the best adversarial found (x where
-    none was found within epsilon)."""
+    none was found within epsilon).
+
+    Arithmetic mirrors the official fab_base.py attack_single_run_targeted
+    (trajectory-pinned in tests/test_autoattack_fidelity.py): the targeted
+    decision function df = z_target - z_y linearized at the current iterate,
+    both projections (from the iterate and from the original point), the
+    interpolation weight alpha = a1/(a1+a2) with the official 1e-8 floor on
+    both radii and the alpha_max cap, the eta overshoot, misclassification
+    (argmax != y) as the success test, best-point bookkeeping by strict
+    L-inf distance, and the beta backward step applied at adversarial
+    iterates. Documented deviations: the L-inf projection solves the same
+    hyperplane-box program by bisection instead of the official sort-based
+    solver (oracle-tested equal to 2^-proj_iters), and one call runs from
+    the clean point only (the official first restart is also rand-start-
+    free; eval-level restarts cover the rest)."""
     b = x.shape[0]
     flat = lambda a: a.reshape(b, -1)
     expand = (slice(None),) + (None,) * (x.ndim - 1)
@@ -308,7 +344,7 @@ def fab_targeted(forward_fn: ForwardFn, x: jnp.ndarray, y: jnp.ndarray,
         logits = forward_fn(xa, k)
         zy = jnp.take_along_axis(logits, y[:, None], axis=-1)[:, 0]
         zt = jnp.take_along_axis(logits, y_target[:, None], axis=-1)[:, 0]
-        return jnp.sum(zy - zt), zy - zt              # f < 0: adversarial
+        return jnp.sum(zy - zt), (zy - zt, logits)    # f < 0: target beats y
 
     grad_fn = jax.grad(lambda xa, k: decision(xa, k)[0])
     keys = jax.random.split(key, 2 * max(cfg.num_steps, 1)
@@ -317,24 +353,28 @@ def fab_targeted(forward_fn: ForwardFn, x: jnp.ndarray, y: jnp.ndarray,
     def body(i, st):
         x_cur, x_best, d_best = st
         k_f, k_g = keys[i, 0], keys[i, 1]
-        _, f = decision(x_cur, k_f)
+        _, (f, _) = decision(x_cur, k_f)
         g = grad_fn(x_cur, k_g)
         gf = flat(g)
         # hyperplane f + g.(z - x_cur) = 0  ->  g.z = g.x_cur - f
         c = jnp.sum(gf * flat(x_cur), axis=1) - f
         z_cur = _proj_linf_box(flat(x_cur), gf, c, cfg.proj_iters)
         z_orig = _proj_linf_box(flat(x), gf, c, cfg.proj_iters)
-        d_cur = jnp.max(jnp.abs(z_cur - flat(x_cur)), axis=1)
-        d_orig = jnp.max(jnp.abs(z_orig - flat(x)), axis=1)
-        alpha = jnp.clip(d_cur / (d_cur + d_orig + 1e-12), 0.0, cfg.alpha_max)
+        # official a0 = max(|d|, 1e-8) on BOTH radii before the blend
+        d_cur = jnp.maximum(jnp.max(jnp.abs(z_cur - flat(x_cur)), axis=1),
+                            1e-8)
+        d_orig = jnp.maximum(jnp.max(jnp.abs(z_orig - flat(x)), axis=1),
+                             1e-8)
+        alpha = jnp.clip(d_cur / (d_cur + d_orig), 0.0, cfg.alpha_max)
         step_cur = flat(x_cur) + cfg.eta * (z_cur - flat(x_cur))
         step_orig = flat(x) + cfg.eta * (z_orig - flat(x))
         xn = ((1.0 - alpha)[:, None] * step_cur + alpha[:, None] * step_orig)
         xn = jnp.clip(xn.reshape(x.shape), 0.0, 1.0)
 
         # bookkeeping on the new point, then backward step where adversarial
-        _, f_new = decision(xn, keys[i, 0])
-        adv = f_new < 0
+        # (official is_adv: MISCLASSIFIED, not necessarily argmax==target)
+        _, (_, logits_new) = decision(xn, keys[i, 0])
+        adv = jnp.argmax(logits_new, axis=-1) != y
         dist = jnp.max(jnp.abs(flat(xn) - flat(x)), axis=1)
         better = adv & (dist < d_best)
         x_best = jnp.where(better[expand], xn, x_best)
@@ -384,11 +424,21 @@ def _square_p(it: int, n_queries: int, p_init: float) -> float:
 
 def square_attack(forward_fn: ForwardFn, x: jnp.ndarray, y: jnp.ndarray,
                   key: jax.Array, cfg: SquareConfig) -> jnp.ndarray:
-    """L-inf Square attack: greedy random square updates accepted when the
-    margin loss decreases. Per-sample positions (unlike the Add_Square
-    defense layer, which shares one square per batch). The published size
-    schedule is static, so the query loop is a fori_loop over a precomputed
-    size table — one compiled body for any n_queries."""
+    """L-inf Square attack, the official AutoAttack port's arithmetic
+    (square.py, trajectory-pinned in tests/test_autoattack_fidelity.py):
+    per-sample stripe init counts as the first query; each of the remaining
+    n_queries-1 iterations draws ONE square position and ONE per-channel
+    sign vector shared across the batch, applies it to the current best
+    point, projects into the eps-ball around x and [0,1], and accepts
+    per-sample on a strict margin-loss decrease — only for samples still
+    correctly classified (the official idx_to_fool gate). The published
+    size schedule is static, so the query loop is a fori_loop over a
+    precomputed size table — one compiled body for any n_queries.
+
+    Documented deviation: the official resamples a candidate square until
+    it changes at least one element of the current iterate; the static-
+    shape loop takes the first draw (a rare wasted query, never a wrong
+    update)."""
     b, h, w, c = x.shape
     eps = cfg.epsilon
     n_feat = c * h * w
@@ -400,34 +450,38 @@ def square_attack(forward_fn: ForwardFn, x: jnp.ndarray, y: jnp.ndarray,
 
     rows = jnp.arange(h)
     cols = jnp.arange(w)
+    # official: the stripe init is query 1; the loop runs n_queries-1 times
+    n_iter = max(cfg.n_queries - 1, 1)
     s_table = jnp.asarray(
         [min(max(int(round(math.sqrt(_square_p(it, cfg.n_queries, cfg.p_init)
                                      * n_feat / c))), 1), h - 1, w - 1)
-         for it in range(max(cfg.n_queries, 1))], jnp.int32)
-    keys = jax.random.split(key, 4 * max(cfg.n_queries, 1)
-                            ).reshape(max(cfg.n_queries, 1), 4, -1)
+         for it in range(n_iter)], jnp.int32)
+    keys = jax.random.split(key, 4 * n_iter).reshape(n_iter, 4, -1)
 
     def body(it, st):
         x_best, loss_best = st
         s = s_table[it]
         kr, kc, ks, kf = keys[it, 0], keys[it, 1], keys[it, 2], keys[it, 3]
-        vh = jax.random.randint(kr, (b,), 0, h - s)
-        vw = jax.random.randint(kc, (b,), 0, w - s)
-        sgn = jnp.sign(jax.random.uniform(ks, (b, 1, 1, c)) * 2 - 1)
+        # official random_int: one position for the whole batch this query
+        vh = jax.random.randint(kr, (), 0, h - s)
+        vw = jax.random.randint(kc, (), 0, w - s)
+        # official random_choice([c, 1, 1]): one sign per channel, shared
+        sgn = jnp.sign(jax.random.uniform(ks, (1, 1, 1, c)) * 2 - 1)
 
-        rmask = (rows[None, :] >= vh[:, None]) & (rows[None, :] < (vh + s)[:, None])
-        cmask = (cols[None, :] >= vw[:, None]) & (cols[None, :] < (vw + s)[:, None])
-        mask = (rmask[:, :, None] & cmask[:, None, :]).astype(x.dtype)[..., None]
+        rmask = (rows >= vh) & (rows < vh + s)
+        cmask = (cols >= vw) & (cols < vw + s)
+        mask = (rmask[:, None] & cmask[None, :]).astype(x.dtype)[None, :, :, None]
 
         cand = x_best + 2.0 * eps * sgn * mask
         cand = jnp.clip(jnp.clip(cand, x - eps, x + eps), 0.0, 1.0)
         loss_cand = _margin_loss(forward_fn(cand, kf), y)
-        accept = loss_cand < loss_best
+        # official idx_to_fool: misclassified samples are not queried again
+        accept = (loss_cand < loss_best) & (loss_best > 0.0)
         x_best = jnp.where(accept[:, None, None, None], cand, x_best)
-        loss_best = jnp.minimum(loss_cand, loss_best)
+        loss_best = jnp.where(accept, loss_cand, loss_best)
         return x_best, loss_best
 
-    x_best, _ = jax.lax.fori_loop(0, cfg.n_queries, body, (x_best, loss_best))
+    x_best, _ = jax.lax.fori_loop(0, n_iter, body, (x_best, loss_best))
     return x_best
 
 
