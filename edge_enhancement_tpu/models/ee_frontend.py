@@ -87,7 +87,7 @@ def ee_frontend(x: jnp.ndarray, cfg: EEConfig,
     if edge_map is not None:
         x_canny = edge_map
     elif cfg.fused and cfg.type_canny == "CannyFilter_step125_1":
-        from ..ops.pallas.canny_fused import canny_step125_fused
+        from ..ops.pallas.ee_fused import canny_step125_fused
         x_canny = canny_step125_fused(x, cfg.high_scaled, cfg.sigma, cfg.alpha)
     else:
         canny_fn = CANNY_VARIANTS[cfg.type_canny]

@@ -7,7 +7,7 @@ import jax.numpy as jnp
 import pytest
 
 from edge_enhancement_tpu.ops import canny_step125
-from edge_enhancement_tpu.ops.pallas.canny_fused import canny_step125_fused
+from edge_enhancement_tpu.ops.pallas.ee_fused import canny_step125_fused
 
 
 @pytest.mark.parametrize("shape,alpha", [((4, 20, 24, 3), 0.1),
