@@ -62,6 +62,11 @@ def base_parser(description: str = "edge_enhancement_tpu trainer") -> argparse.A
                    help="dataset root dir, or 'synthetic'")
     p.add_argument("--evaluate", action="store_true", default=None)
     p.add_argument("--resume", default=None, help="checkpoint dir to resume")
+    p.add_argument("--pretrained", default=None,
+                   help="warm-start the backbone from a torchvision-format "
+                        "torch state_dict (.pth); shape-mismatched heads "
+                        "keep their fresh init (reference --pretrained, "
+                        "experiments_imagenet.py:65-81)")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch-size", dest="batch_size", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)

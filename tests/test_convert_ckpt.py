@@ -93,6 +93,79 @@ def test_mnist_net2_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+def test_pretrained_torchvision_warm_start(tmp_path):
+    """`--pretrained`: a torchvision-format 1000-class ResNet18 state_dict
+    warm-starts our model. Same class count -> full eval-mode logits parity;
+    task class count (200) -> backbone ingested, fc head skipped and left at
+    fresh init (the reference loads torchvision weights then swaps the head,
+    experiments_imagenet.py:65-81, experiments_tinyimagenet.py:60-70)."""
+    sys.path.insert(0, REF)
+    from Tiny_ImageNet.models_tinyimagenet.resnet import resnet18
+    torch.manual_seed(3)
+    tm = resnet18(pretrained=False, num_classes=1000).eval()
+    pth = tmp_path / "tv_resnet18.pth"
+    torch.save(tm.state_dict(), str(pth))    # raw torchvision layout
+
+    from edge_enhancement_tpu.models.registry import build_model
+    from edge_enhancement_tpu.train.modelops import ModelOps
+    from edge_enhancement_tpu.train.trainer import create_train_state
+    from tools.convert_torch_checkpoint import load_pretrained_torch
+
+    def fresh(num_classes):
+        ops = ModelOps(build_model("resnet18", dict(cize=64), num_classes))
+        return ops, create_train_state(ops, jax.random.PRNGKey(0),
+                                       jnp.zeros((1, 64, 64, 3)))
+
+    # 1. matching head: every tensor ingests, logits match torch eval mode
+    ops, state = fresh(1000)
+    state1k, n, skipped = load_pretrained_torch(state, "resnet18", str(pth))
+    assert not skipped and n > 100
+    x = np.random.default_rng(3).random((2, 64, 64, 3)).astype(np.float32)
+    want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2).copy())
+              ).detach().numpy()
+    got = np.asarray(ops.logits_eval(state1k.params, state1k.batch_stats,
+                                     jnp.asarray(x), jax.random.PRNGKey(1)))
+    np.testing.assert_allclose(got, want, atol=2e-3)
+
+    # 2. task head: backbone in, mismatched fc skipped with its fresh init
+    ops2, state200 = fresh(200)
+    state200b, n2, skipped2 = load_pretrained_torch(state200, "resnet18",
+                                                    str(pth))
+    assert sorted(k for k, _, _ in skipped2) == [("Dense_0", "bias"),
+                                                 ("Dense_0", "kernel")]
+    np.testing.assert_array_equal(
+        np.asarray(state200b.params["Conv_0"]["kernel"]),
+        tm.conv1.weight.detach().numpy().transpose(2, 3, 1, 0))
+    np.testing.assert_array_equal(
+        np.asarray(state200b.params["Dense_0"]["kernel"]),
+        np.asarray(state200.params["Dense_0"]["kernel"]))
+    assert n2 == n - 2
+
+
+def test_pretrained_flag_through_driver(tmp_path):
+    """`train.py --pretrained` plumbs end to end: one driver run warm-starts
+    from the .pth, logs the ingestion, trains a step, and checkpoints."""
+    sys.path.insert(0, REF)
+    from Tiny_ImageNet.models_tinyimagenet.resnet import resnet18
+    torch.manual_seed(4)
+    tm = resnet18(pretrained=False, num_classes=1000)
+    pth = tmp_path / "tv.pth"
+    torch.save(tm.state_dict(), str(pth))
+
+    import train as train_mod
+    from edge_enhancement_tpu.utils.config import load_config
+    cfg = load_config(os.path.join(
+        REPO, "edge_enhancement_tpu/configs/tiny_imagenet/standard_training.yml"),
+        {"data": "synthetic", "epochs": 1, "limit_batches": 1,
+         "batch_size": 8, "synthetic_size": 16, "output": str(tmp_path),
+         "print_freq": 1, "pretrained": str(pth), "num_steps_1": 1,
+         "attack_unroll": 1})
+    train_mod.run(cfg)
+    logs = list(tmp_path.rglob("log.txt")) + list(tmp_path.rglob("log"))
+    text = "".join(p.read_text() for p in logs if p.is_file())
+    assert "warm-started" in text and "Dense_0" in text
+
+
 def test_preactresnet18_checkpoint_roundtrip(tmp_path):
     sys.path.insert(0, REF)
     from AWP.Tiny_imagenet.models_tiny_awp.preactresnet import PreActResNet18

@@ -129,8 +129,15 @@ def _leaf_arrays(state_dict, tname, kind):
     return out
 
 
-def convert(state_dict: dict, name_map: dict, params, batch_stats):
-    """Fill our (params, batch_stats) trees from a torch state_dict."""
+def convert(state_dict: dict, name_map: dict, params, batch_stats,
+            on_mismatch: str = "raise"):
+    """Fill our (params, batch_stats) trees from a torch state_dict.
+
+    on_mismatch: 'raise' for full-checkpoint conversion (every mapped tensor
+    must fit), or 'skip' for torchvision-pretrained warm starts where the
+    classifier head legitimately differs (the reference replaces model.fc
+    after loading 1000-class weights, experiments_tinyimagenet.py:60-70).
+    Returns (params, batch_stats, matched_count, skipped_paths)."""
     import jax
 
     by_path = {}
@@ -149,6 +156,7 @@ def convert(state_dict: dict, name_map: dict, params, batch_stats):
             by_path[fpath + (leaf_name,)] = arr
 
     matched = [0]
+    skipped = []
 
     def fill(tree, stats: bool):
         def pick(path, leaf):
@@ -156,6 +164,9 @@ def convert(state_dict: dict, name_map: dict, params, batch_stats):
             if keys in by_path:
                 arr = by_path[keys]
                 if arr.shape != leaf.shape:
+                    if on_mismatch == "skip":
+                        skipped.append((keys, arr.shape, leaf.shape))
+                        return np.asarray(leaf)
                     raise ValueError(f"{keys}: torch {arr.shape} vs "
                                      f"flax {leaf.shape}")
                 matched[0] += 1
@@ -166,7 +177,39 @@ def convert(state_dict: dict, name_map: dict, params, batch_stats):
 
     new_params = fill(params, stats=False)
     new_stats = fill(batch_stats, stats=True)
-    return new_params, new_stats, matched[0]
+    return new_params, new_stats, matched[0], skipped
+
+
+def name_map_for_arch(arch: str) -> dict:
+    import re
+    m = re.fullmatch(r"resnet(\d+).*", arch)
+    if m:
+        return resnet_name_map(int(m.group(1)))
+    if arch.startswith("PreActResNet"):
+        return preact_name_map(18)
+    if arch.startswith("Net2"):
+        return mnist_name_map()
+    raise SystemExit(f"no name map for arch {arch!r}")
+
+
+def load_pretrained_torch(state, arch: str, path: str):
+    """Warm-start `state` from a torchvision-format torch state_dict (the
+    reference drivers' --pretrained: torchvision weights feed the backbone,
+    the classifier head is re-initialized for the task's class count —
+    ImageNet/experiments_imagenet.py:65-81,
+    Tiny_ImageNet/experiments_tinyimagenet.py:60-70). Accepts a raw
+    state_dict .pth or a reference-style {state_dict: ...} payload, with or
+    without the DataParallel 'module.' prefix. Shape-mismatched heads are
+    left at their fresh initialization. Returns (state, matched, skipped)."""
+    import torch
+    payload = torch.load(path, map_location="cpu", weights_only=False)
+    state_dict = payload.get("state_dict", payload) \
+        if isinstance(payload, dict) else payload
+    state_dict = {k.removeprefix("module."): v for k, v in state_dict.items()}
+    params, stats, n, skipped = convert(
+        state_dict, name_map_for_arch(arch), state.params, state.batch_stats,
+        on_mismatch="skip")
+    return state.replace(params=params, batch_stats=stats), n, skipped
 
 
 def main():

@@ -145,11 +145,23 @@ def run_free_fast(cfg, ops, mesh, state, train_ds, val_ds, log, out_dir,
         if shard is not None and shard.shape == noise_host.shape:
             noise_host = shard
         else:
+            if shard is not None:
+                # a persisted shard exists but doesn't fit this run shape
+                # (different process count / batch size / crop): resuming
+                # would silently change the replay trajectory — say so
+                log(f"WARNING: free-AT noise shard in {cfg['resume']} has "
+                    f"shape {shard.shape}, expected {noise_host.shape} "
+                    "(process count / batch size changed?); replay noise "
+                    "resets to zeros")
             payload = ckpt.load_checkpoint(cfg["resume"])
             if payload is not None and "extra" in payload and "noise" in payload["extra"]:
                 saved_noise = np.asarray(payload["extra"]["noise"])
                 if saved_noise.shape == noise_host.shape:
                     noise_host = saved_noise
+                else:
+                    log(f"WARNING: checkpoint noise buffer has shape "
+                        f"{saved_noise.shape}, expected {noise_host.shape}; "
+                        "replay noise resets to zeros")
     noise = meshlib.shard_batch(mesh, noise_host)
     epochs = int(math.ceil(int(cfg["epochs"]) / n_repeats)) if not fast \
         else int(cfg["epochs"])
@@ -227,7 +239,13 @@ def main():
     args = base_parser().parse_args()
     cfg = load_config(args.config, vars(args))
     apply_platform(cfg)
+    run(cfg)
 
+
+def run(cfg):
+    """Drive one full config (train or --evaluate). Split from main() so the
+    config-surface smoke sweep (tests/test_config_smoke.py) can run every
+    shipped YAML through the REAL driver at scaled-down shapes."""
     # Multi-host: one line replaces the reference's torch.distributed.launch +
     # NCCL process groups (experiments_imagenet.py:56). Each host then runs
     # the same mesh-sharded program; input batches are host-sharded via
@@ -261,6 +279,17 @@ def main():
     sample_x, _ = next(train_ds.batches(2, shuffle=False, seed=0))
     state = create_train_state(ops, jax.random.PRNGKey(seed),
                                jnp.asarray(sample_x[:1]))
+    if cfg.get("pretrained"):
+        # torchvision-format warm start (reference --pretrained builds
+        # torchvision-pretrained backbones and swaps the head,
+        # experiments_imagenet.py:65-81); --resume below still wins
+        from tools.convert_torch_checkpoint import load_pretrained_torch
+        state, n_loaded, skipped = load_pretrained_torch(
+            state, cfg["arch"], cfg["pretrained"])
+        log_skip = "".join(f"\n   skipped {k} (torch {ts} vs ours {fs})"
+                           for k, ts, fs in skipped)
+        log(f"=> warm-started {n_loaded} tensors from torch weights "
+            f"{cfg['pretrained']}{log_skip}")
     start_epoch, best_prec1 = int(cfg.get("start_epoch", 0)), 0.0
     if cfg.get("resume"):
         payload = ckpt.load_checkpoint(cfg["resume"])
@@ -313,7 +342,7 @@ def main():
     if cfg.get("evaluate"):
         for tier in ("1", "2", "3"):
             ns, ss = cfg.get(f"num_steps_{tier}"), cfg.get(f"step_size_{tier}")
-            if ns is None:
+            if ns is None or ss is None:   # tiers come in (K, step) pairs
                 continue
             log(f"=> evaluate num_steps:{ns}, step_size:{ss}")
             es = build_eval_step(ops, EvalAttackConfig(
