@@ -455,6 +455,56 @@ def synthetic_dataset(spec: DatasetSpec, n: int, seed: int = 0,
     return ArrayDataset(imgs, labels, augment=augment)
 
 
+def synthetic_hard_images(n: int, seed: int, h: int = 64,
+                          num_label_classes: int = 200,
+                          signal_classes: int = 10
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """Non-saturating synthetic Tiny-ImageNet (`--data synthetic-hard`, and
+    the digital twin's 'hard' task — tools/digital_twin_tiny.py): 10 of the
+    200 labels carry a block signal whose per-sample contrast rides a
+    continuum a ~ U(0.05, 0.50) ADDED over strong background noise
+    U(0, 0.45), with +-6 px jitter and the class colour mixed 65/35 with a
+    random distractor class colour. By construction the AT equilibrium at
+    eps=16/255 lands mid-band: low-contrast samples are a Bayes floor
+    (clean < 100), near-threshold ones are attackable (robust < clean),
+    only the high-contrast tail is robust — the regime of the reference's
+    headline 28.86/18.87 operating point."""
+    rng = np.random.default_rng(seed)
+    ys = rng.integers(0, signal_classes, n).astype(np.int64)
+    g = h // 64 or 1
+    centers = [((14 + 18 * (c // 4)) * h // 64, (12 + 13 * (c % 4)) * h // 64)
+               for c in range(10)]
+    colors = np.asarray(
+        [(1.0, 0.3, 0.3), (0.3, 1.0, 0.3), (0.3, 0.3, 1.0),
+         (1.0, 1.0, 0.3), (1.0, 0.3, 1.0), (0.3, 1.0, 1.0),
+         (1.0, 0.7, 0.3), (0.7, 0.3, 1.0), (0.3, 0.7, 0.7),
+         (0.9, 0.9, 0.9)], np.float32)
+    blk = 24 * h // 64
+    xs = rng.uniform(0.0, 0.45, (n, h, h, 3)).astype(np.float32)
+    for i in range(n):
+        c = int(ys[i])
+        cy, cx = centers[c]
+        cy += rng.integers(-6, 7) * g
+        cx += rng.integers(-6, 7) * g
+        y0, x0 = max(cy - blk // 2, 0), max(cx - blk // 2, 0)
+        a = rng.uniform(0.05, 0.50)
+        col = (0.65 * colors[c]
+               + 0.35 * colors[(c + 1 + rng.integers(0, 9)) % 10])
+        bh = min(h - y0, blk)
+        bw = min(h - x0, blk)
+        xs[i, y0:y0 + bh, x0:x0 + bw] = np.clip(
+            xs[i, y0:y0 + bh, x0:x0 + bw] + a * col, 0.0, 1.0)
+    return (xs * 255).astype(np.uint8), ys.astype(np.int32)
+
+
+def synthetic_hard_dataset(spec: DatasetSpec, n: int, seed: int = 0
+                           ) -> ArrayDataset:
+    assert spec.channels == 3, "synthetic-hard is an RGB task"
+    xs, ys = synthetic_hard_images(n, seed, h=spec.image_size,
+                                   num_label_classes=spec.num_classes)
+    return ArrayDataset(xs, ys)
+
+
 def get_dataset(name: str, root: Optional[str], train: bool,
                 synthetic_size: Optional[int] = None,
                 image_size: Optional[int] = None
@@ -468,6 +518,10 @@ def get_dataset(name: str, root: Optional[str], train: bool,
         n = synthetic_size or (512 if train else 256)
         return synthetic_dataset(spec, n, seed=0 if train else 1,
                                  augment=None), spec
+    if root == "synthetic-hard":
+        # full-scale dress-rehearsal data: TinyIN-sized non-saturating task
+        n = synthetic_size or (100000 if train else 10000)
+        return synthetic_hard_dataset(spec, n, seed=0 if train else 1), spec
     if name == "mnist":
         return load_mnist(root, train), spec
     if name == "cifar100":

@@ -70,7 +70,7 @@ def test_digital_twin_mini(tmp_path):
     ops = ModelOps(build_model("Net2_EE", cfg_args, 10))
     st = create_train_state(ops, jax.random.PRNGKey(1),
                             jnp.zeros((1, 28, 28, 1)))
-    params, stats, matched = convert(
+    params, stats, matched, _ = convert(
         torch.load(ref["init_pth"], map_location="cpu")["state_dict"],
         mnist_name_map(), st.params, st.batch_stats)
     assert matched == 8

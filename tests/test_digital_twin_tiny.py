@@ -69,7 +69,7 @@ def test_digital_twin_tiny_mini(tmp_path, monkeypatch):
     ops = ModelOps(build_model("resnet18_EE", cfg_args, 200))
     st = create_train_state(ops, jax.random.PRNGKey(1),
                             jnp.zeros((1, 64, 64, 3)))
-    params, stats, matched = convert(sd, resnet_name_map(18), st.params,
+    params, stats, matched, _ = convert(sd, resnet_name_map(18), st.params,
                                      st.batch_stats)
     assert matched == 102, matched
     x0 = xs_va[:4].astype(np.float32) / 255.0

@@ -263,7 +263,7 @@ def main():
     else:
         raise SystemExit(f"no name map for arch {args.arch!r}")
 
-    params, stats, n = convert(state_dict, name_map, state.params,
+    params, stats, n, _ = convert(state_dict, name_map, state.params,
                                state.batch_stats)
     state = state.replace(params=params, batch_stats=stats)
     ckpt.save_checkpoint(args.out_dir, jax.device_get(state),

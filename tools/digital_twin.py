@@ -288,7 +288,7 @@ def run_ours(data_dir: str, init_pth: str, epochs: int, num_steps: int,
     state = create_train_state(ops, jax.random.PRNGKey(seed),
                                jnp.zeros((1, 28, 28, 1)))
     sd = torch.load(init_pth, map_location="cpu")["state_dict"]
-    params, stats, matched = convert(sd, mnist_name_map(), state.params,
+    params, stats, matched, _ = convert(sd, mnist_name_map(), state.params,
                                      state.batch_stats)
     assert matched == 8, matched     # conv1/conv2/fc1/fc2 x (kernel, bias)
     state = state.replace(params=params, batch_stats=stats)

@@ -77,6 +77,36 @@ def synth_tiny(n: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return (xs * 255).astype(np.uint8), ys
 
 
+def synth_tiny_hard(n: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Non-saturating variant (round-4: a twin task that can actually FAIL).
+
+    Same 10-position block vocabulary, but the class signal rides a
+    per-sample contrast a ~ U(0.05, 0.50) ADDED over a strong background
+    (noise U(0, 0.45)), with +-6 px jitter and the class colour mixed 65/35
+    with a random distractor class colour. The contrast continuum puts the
+    AT equilibrium mid-band at eps=16/255 by construction:
+
+    * a below the noise floor  -> unclassifiable (Bayes error: clean < 100)
+    * a within ~2*eps of the detection threshold -> attackable
+      (robust meaningfully < clean)
+    * only the high-contrast tail is robust.
+
+    This is the regime of the BASELINE.md operating point (28.86 clean /
+    18.87 PGD-10 sits at a hard-task equilibrium, not a saturated one), so
+    gradient/BN/attack drift between the stacks costs visible points here
+    instead of washing out at 100/100.
+
+    The generator lives in the package (it doubles as `--data
+    synthetic-hard`, the full-scale dress-rehearsal dataset); this wrapper
+    only casts labels for torch."""
+    from edge_enhancement_tpu.data.datasets import synthetic_hard_images
+    xs, ys = synthetic_hard_images(n, seed)
+    return xs, ys.astype(np.int64)
+
+
+TASKS = {"block": synth_tiny, "hard": synth_tiny_hard}
+
+
 def parse_reference_log(work_dir: str, epochs: int):
     """Recover a finished reference run from its own log.txt (validate()
     writes ' * Clean/Adv Prec@1' once per epoch)."""
@@ -154,8 +184,10 @@ def run_reference(xs_tr, ys_tr, xs_va, ys_va, work_dir: str, epochs: int,
     return out
 
 
-def run_ours(xs_tr, ys_tr, xs_va, ys_va, init_pth: str, epochs: int,
+def run_ours(xs_tr, ys_tr, xs_va, ys_va, init_pth, epochs: int,
              num_steps: int, seed: int = 1, platform: str = "cpu") -> dict:
+    """Train with our stack. init_pth: reference torch init to copy
+    (twin mode), or None for a fresh flax init (task calibration)."""
     import jax
     if platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
@@ -187,13 +219,15 @@ def run_ours(xs_tr, ys_tr, xs_va, ys_va, init_pth: str, epochs: int,
     ops = ModelOps(build_model(r["arch"], cfg_args, NUM_CLASSES))
     state = create_train_state(ops, jax.random.PRNGKey(seed),
                                jnp.zeros((1, 64, 64, 3)))
-    sd = torch.load(init_pth, map_location="cpu")["state_dict"]
-    params, stats, matched = convert(sd, resnet_name_map(18), state.params,
-                                     state.batch_stats)
-    # resnet18: 20 conv kernels + 20 BN x (scale,bias) + fc (kernel,bias)
-    # in params, 20 BN x (mean,var) in stats
-    assert matched == 102, matched
-    state = state.replace(params=params, batch_stats=stats)
+    if init_pth is not None:
+        sd = torch.load(init_pth, map_location="cpu")["state_dict"]
+        out = convert(sd, resnet_name_map(18), state.params,
+                      state.batch_stats)
+        params, stats, matched = out[0], out[1], out[2]
+        # resnet18: 20 conv kernels + 20 BN x (scale,bias) + fc (kernel,bias)
+        # in params, 20 BN x (mean,var) in stats
+        assert matched == 102, matched
+        state = state.replace(params=params, batch_stats=stats)
 
     mcfg = MethodConfig(method_name=r["method_name"], epsilon=r["epsilon"],
                         num_steps=num_steps, step_size=r["step_size_1"],
@@ -231,12 +265,21 @@ def run_ours(xs_tr, ys_tr, xs_va, ys_va, init_pth: str, epochs: int,
     return {"history": hist}
 
 
+def converged(hist, k=2):
+    """Converged value = mean of the last k epochs."""
+    return {m: float(np.mean(hist[m][-k:])) for m in ("clean", "adv")}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=8)
     ap.add_argument("--n-train", type=int, default=500)
     ap.add_argument("--n-val", type=int, default=250)
     ap.add_argument("--num-steps", type=int, default=10)
+    ap.add_argument("--task", default="block", choices=sorted(TASKS))
+    ap.add_argument("--seeds", type=int, nargs="+", default=[1, 2],
+                    help="paired runs: each seed gets its own torch init + "
+                         "shuffle stream, shared between the two stacks")
     ap.add_argument("--ours-platform", default="cpu",
                     choices=["cpu", "default"])
     ap.add_argument("--out", default=os.path.join(REPO, "output",
@@ -244,38 +287,50 @@ def main():
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
-    xs_tr, ys_tr = synth_tiny(args.n_train, seed=0)
-    xs_va, ys_va = synth_tiny(args.n_val, seed=1)
-    ref_dir = os.path.join(args.out, "ref")
-    ref = parse_reference_log(ref_dir, args.epochs)
-    if ref is not None:
-        print("=> reference run recovered from its log (skipping torch)")
-    else:
-        print("=> reference (torch) run ...")
-        ref = run_reference(xs_tr, ys_tr, xs_va, ys_va, ref_dir,
-                            args.epochs, args.num_steps, seed=1)
-    print("=> our run (same init) ...")
+    gen = TASKS[args.task]
+    xs_tr, ys_tr = gen(args.n_train, seed=0)
+    xs_va, ys_va = gen(args.n_val, seed=1)
     plat = args.ours_platform
-    ours = run_ours(xs_tr, ys_tr, xs_va, ys_va, ref["init_pth"],
-                    args.epochs, args.num_steps, seed=1, platform=plat)
-    print("=> our run, second seed (noise band) ...")
-    ours2 = run_ours(xs_tr, ys_tr, xs_va, ys_va, ref["init_pth"],
-                     args.epochs, args.num_steps, seed=2, platform=plat)
 
     res = {"recipe": dict(RECIPE, num_steps_1=args.num_steps,
                           epochs=args.epochs, n_train=args.n_train),
-           "reference": ref["history"], "ours_seed1": ours["history"],
-           "ours_seed2": ours2["history"]}
-    with open(os.path.join(args.out, "twin.json"), "w") as f:
+           "task": args.task, "seeds": args.seeds,
+           "reference": {}, "ours": {}}
+    for seed in args.seeds:
+        ref_dir = os.path.join(args.out, f"ref_s{seed}")
+        ref = parse_reference_log(ref_dir, args.epochs)
+        if ref is not None:
+            print(f"=> reference seed {seed} recovered from its log")
+        else:
+            print(f"=> reference (torch) run, seed {seed} ...", flush=True)
+            ref = run_reference(xs_tr, ys_tr, xs_va, ys_va, ref_dir,
+                                args.epochs, args.num_steps, seed=seed)
+        print(f"=> our run, seed {seed} (same init) ...", flush=True)
+        ours = run_ours(xs_tr, ys_tr, xs_va, ys_va, ref["init_pth"],
+                        args.epochs, args.num_steps, seed=seed,
+                        platform=plat)
+        res["reference"][str(seed)] = ref["history"]
+        res["ours"][str(seed)] = ours["history"]
+
+    with open(os.path.join(args.out, f"twin_{args.task}.json"), "w") as f:
         json.dump(res, f, indent=1)
 
-    band = max(max(abs(a - b) for a, b in zip(ours["history"][k],
-                                              ours2["history"][k]))
-               for k in ("clean", "adv"))
-    gap = max(max(abs(a - b) for a, b in zip(ours["history"][k],
-                                             ref["history"][k]))
-              for k in ("clean", "adv"))
-    print(json.dumps({"gap": gap, "band": band}))
+    # converged comparison: per-side seed band vs cross-stack gap of means
+    conv_ref = [converged(res["reference"][str(s)]) for s in args.seeds]
+    conv_ours = [converged(res["ours"][str(s)]) for s in args.seeds]
+    summary = {"task": args.task, "seeds": args.seeds}
+    for m in ("clean", "adv"):
+        rv = [c[m] for c in conv_ref]
+        ov = [c[m] for c in conv_ours]
+        summary[m] = {
+            "ref_mean": float(np.mean(rv)), "ref_vals": rv,
+            "ours_mean": float(np.mean(ov)), "ours_vals": ov,
+            "band": float(max(max(rv) - min(rv), max(ov) - min(ov))),
+            "gap": float(abs(np.mean(rv) - np.mean(ov))),
+        }
+    with open(os.path.join(args.out, f"summary_{args.task}.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
