@@ -14,11 +14,25 @@ algorithms are transcribed as independent numpy oracles/mirrors).
 3. FAB L-inf projection — property-tested against an exact sort-based
    breakpoint-walk oracle: the bisection must achieve the exact minimal
    radius, land on the hyperplane, and stay in the box.
+4. FAB-T full trajectory — numpy transcription of the official
+   attack_single_run_targeted (linearization, both projections, 1e-8
+   radius floor, alpha_max blend, eta overshoot, misclassification success
+   test, beta backward step, distance bookkeeping), exact on a linear
+   model.
+5. Square full trajectory — numpy transcription of the official square.py
+   port (stripe init as query 1, shared per-query square position +
+   channel signs, idx_to_fool gating, strict margin-decrease accept),
+   consuming the same jax draws as the implementation; plus size-schedule
+   goldens of the int()/round arithmetic.
 
 Known remaining deviations from the official package (documented, all make
 our suite equal or stronger): where APGD never misclassifies, we return the
 max-loss iterate instead of the untouched init; FAB-T runs from the clean
-point only (no random restarts inside one call — eval restarts cover it).
+point only (no random restarts inside one call — eval restarts cover it,
+and the official first restart is also rand-start-free); Square takes the
+first candidate square instead of resampling until it changes an element
+(rare wasted query, never a wrong update); the FAB projection is a
+bisection solver oracle-tested equal to the official sort-based one.
 """
 
 import numpy as np
