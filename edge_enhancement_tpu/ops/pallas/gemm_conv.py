@@ -133,3 +133,43 @@ def conv_cgemm_nhwc(x: jnp.ndarray, w_hwio: jnp.ndarray,
                              H=h, W=wdim,
                              images_per_block=images_per_block)
     return jnp.transpose(o_flat.reshape(cout, b, h, wdim), (1, 2, 3, 0))
+
+
+# ---------------------------------------------------------------------------
+# Training path: custom VJP. dgrad is the SAME kernel with rotated weights
+# (stride-1 SAME 3x3: dx = conv(dy, rot180(W) with I/O swapped) — the dgrad
+# is exactly the fwd-shaped problem, so it inherits the full-contraction
+# layout win). wgrad stays on XLA's native lowering: its GEMM contracts over
+# batch*spatial (huge K), which the native lowering already tiles well.
+# ---------------------------------------------------------------------------
+
+def _dgrad_weights(w_hwio: jnp.ndarray) -> jnp.ndarray:
+    return jnp.transpose(w_hwio[::-1, ::-1], (0, 1, 3, 2))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv3x3_cgemm(x: jnp.ndarray, w_hwio: jnp.ndarray,
+                  images_per_block: int = 8) -> jnp.ndarray:
+    """Differentiable SAME 3x3 stride-1 conv (NHWC x HWIO -> NHWC) on the
+    channels-on-contraction kernel."""
+    return conv_cgemm_nhwc(x, w_hwio, images_per_block)
+
+
+def _cgemm_fwd(x, w_hwio, images_per_block):
+    return conv_cgemm_nhwc(x, w_hwio, images_per_block), (x, w_hwio)
+
+
+def _cgemm_bwd(images_per_block, res, dy):
+    x, w_hwio = res
+    dx = conv_cgemm_nhwc(dy, _dgrad_weights(w_hwio), images_per_block)
+    # native wgrad: differentiate the equivalent XLA conv w.r.t. weights
+    _, wgrad = jax.vjp(
+        lambda wk: jax.lax.conv_general_dilated(
+            x, wk, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32).astype(dy.dtype),
+        w_hwio)
+    return dx, wgrad(dy)[0]
+
+
+conv3x3_cgemm.defvjp(_cgemm_fwd, _cgemm_bwd)
