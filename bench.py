@@ -9,7 +9,40 @@ Runs on whatever jax.devices() provides (the real TPU chip under axon).
 
 import json
 import os
+import subprocess
+import sys
 import time
+
+
+def _wait_for_backend(max_wait_s: float = 900.0, probe_timeout: float = 420.0):
+    """The axon TPU tunnel is occasionally down for a few minutes (round-4's
+    recorded bench failed on a transient UNAVAILABLE). Probe jax.devices()
+    in a SUBPROCESS — jax caches a failed backend discovery in-process — and
+    only give up after max_wait_s."""
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout, capture_output=True)
+            if r.returncode == 0:
+                return
+            err = r.stderr.decode(errors="replace").strip().splitlines()
+            err = err[-1] if err else "unknown"
+        except subprocess.TimeoutExpired:
+            err = f"probe timed out after {probe_timeout:.0f}s"
+        if time.monotonic() > deadline:
+            print(f"bench: backend still unavailable after {max_wait_s:.0f}s "
+                  f"({err})", file=sys.stderr)
+            return  # fall through: the real error surfaces in main()
+        print(f"bench: backend unavailable (attempt {attempt}: {err}); "
+              "retrying in 60s", file=sys.stderr)
+        time.sleep(60)
+
+
+_wait_for_backend()
 
 import jax
 

@@ -451,7 +451,10 @@ def square_attack(forward_fn: ForwardFn, x: jnp.ndarray, y: jnp.ndarray,
     rows = jnp.arange(h)
     cols = jnp.arange(w)
     # official: the stripe init is query 1; the loop runs n_queries-1 times
-    n_iter = max(cfg.n_queries - 1, 1)
+    # (n_queries=1 therefore runs ONLY the stripe init, zero loop queries)
+    n_iter = max(cfg.n_queries - 1, 0)
+    if n_iter == 0:
+        return x_best
     s_table = jnp.asarray(
         [min(max(int(round(math.sqrt(_square_p(it, cfg.n_queries, cfg.p_init)
                                      * n_feat / c))), 1), h - 1, w - 1)

@@ -468,7 +468,16 @@ def synthetic_hard_images(n: int, seed: int, h: int = 64,
     eps=16/255 lands mid-band: low-contrast samples are a Bayes floor
     (clean < 100), near-threshold ones are attackable (robust < clean),
     only the high-contrast tail is robust — the regime of the reference's
-    headline 28.86/18.87 operating point."""
+    headline 28.86/18.87 operating point.
+
+    `num_label_classes` is informational only: labels are always drawn from
+    the `signal_classes` signal vocabulary (the remaining label space stays
+    empty by design, mirroring the reference model's fixed 200-way head);
+    it exists to validate that the caller's label space can hold them."""
+    if signal_classes > num_label_classes:
+        raise ValueError(
+            f"signal_classes={signal_classes} exceeds the caller's label "
+            f"space num_label_classes={num_label_classes}")
     rng = np.random.default_rng(seed)
     ys = rng.integers(0, signal_classes, n).astype(np.int64)
     g = h // 64 or 1

@@ -29,6 +29,7 @@ full integration cost.
 from __future__ import annotations
 
 import functools
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -92,11 +93,21 @@ def conv_cgemm_flat(x_flat: jnp.ndarray, w_flat: jnp.ndarray, *, H: int,
     cin, ntot = x_flat.shape
     cout = w_flat.shape[0]
     hw = H * W
-    assert ntot % hw == 0
+    if ntot % hw:
+        raise ValueError(
+            f"x_flat lane dim {ntot} is not a multiple of H*W={hw}; "
+            "conv_cgemm_flat needs whole images on the lane axis")
     b = ntot // hw
     ib = min(images_per_block, b)
     while b % ib:
         ib -= 1
+    if ib < min(images_per_block, b):
+        # a non-divisible batch decays the block size, shrinking the lane
+        # tile (and the kernel's perf premise for small H*W) — surface it
+        warnings.warn(
+            f"conv_cgemm_flat: batch {b} not divisible by "
+            f"images_per_block={images_per_block}; using {ib} images per "
+            f"block (lane tile {ib * hw})", stacklevel=2)
     nblk = ib * hw
     grid = (b // ib,)
     kernel = functools.partial(_kernel, H=H, W=W, kh=kh, kw=kw, cin=cin,

@@ -509,7 +509,7 @@ def _mirror_official_square(W, b, x, y, eps, n_queries, p_init, key):
     loss_best = margin(x_best)
 
     from edge_enhancement_tpu.attacks.autoattack import _square_p
-    n_iter = max(n_queries - 1, 1)
+    n_iter = max(n_queries - 1, 0)
     keys = jax.random.split(key, 4 * n_iter).reshape(n_iter, 4, -1)
     for it in range(n_iter):
         p = _square_p(it, n_queries, p_init)

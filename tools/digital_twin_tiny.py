@@ -282,6 +282,10 @@ def main():
                          "shuffle stream, shared between the two stacks")
     ap.add_argument("--ours-platform", default="cpu",
                     choices=["cpu", "default"])
+    ap.add_argument("--ref-only", action="store_true",
+                    help="run/recover only the torch reference seeds (the "
+                         "CPU long pole) so our side can run later — "
+                         "parse_reference_log picks the finished runs up")
     ap.add_argument("--out", default=os.path.join(REPO, "output",
                                                   "twin_tiny"))
     args = ap.parse_args()
@@ -305,6 +309,9 @@ def main():
             print(f"=> reference (torch) run, seed {seed} ...", flush=True)
             ref = run_reference(xs_tr, ys_tr, xs_va, ys_va, ref_dir,
                                 args.epochs, args.num_steps, seed=seed)
+        if args.ref_only:
+            res["reference"][str(seed)] = ref["history"]
+            continue
         print(f"=> our run, seed {seed} (same init) ...", flush=True)
         ours = run_ours(xs_tr, ys_tr, xs_va, ys_va, ref["init_pth"],
                         args.epochs, args.num_steps, seed=seed,
@@ -314,6 +321,10 @@ def main():
 
     with open(os.path.join(args.out, f"twin_{args.task}.json"), "w") as f:
         json.dump(res, f, indent=1)
+    if args.ref_only:
+        print(json.dumps({"ref_only": True, "task": args.task,
+                          "reference": res["reference"]}))
+        return
 
     # converged comparison: per-side seed band vs cross-stack gap of means
     conv_ref = [converged(res["reference"][str(s)]) for s in args.seeds]

@@ -145,23 +145,25 @@ def run_free_fast(cfg, ops, mesh, state, train_ds, val_ds, log, out_dir,
         if shard is not None and shard.shape == noise_host.shape:
             noise_host = shard
         else:
-            if shard is not None:
-                # a persisted shard exists but doesn't fit this run shape
-                # (different process count / batch size / crop): resuming
-                # would silently change the replay trajectory — say so
-                log(f"WARNING: free-AT noise shard in {cfg['resume']} has "
-                    f"shape {shard.shape}, expected {noise_host.shape} "
-                    "(process count / batch size changed?); replay noise "
-                    "resets to zeros")
             payload = ckpt.load_checkpoint(cfg["resume"])
+            saved_noise = None
             if payload is not None and "extra" in payload and "noise" in payload["extra"]:
                 saved_noise = np.asarray(payload["extra"]["noise"])
-                if saved_noise.shape == noise_host.shape:
-                    noise_host = saved_noise
-                else:
-                    log(f"WARNING: checkpoint noise buffer has shape "
-                        f"{saved_noise.shape}, expected {noise_host.shape}; "
-                        "replay noise resets to zeros")
+            if saved_noise is not None and saved_noise.shape == noise_host.shape:
+                noise_host = saved_noise
+            else:
+                # neither the per-process shard nor the orbax payload fits
+                # this run shape (different process count / batch size /
+                # crop): resuming silently changes the replay trajectory —
+                # say so, naming whichever stale buffers were found
+                found = [f"shard {shard.shape}"] if shard is not None else []
+                if saved_noise is not None:
+                    found.append(f"checkpoint buffer {saved_noise.shape}")
+                if found:
+                    log(f"WARNING: free-AT noise in {cfg['resume']} has "
+                        f"{' and '.join(found)}, expected {noise_host.shape} "
+                        "(process count / batch size changed?); replay "
+                        "noise resets to zeros")
     noise = meshlib.shard_batch(mesh, noise_host)
     epochs = int(math.ceil(int(cfg["epochs"]) / n_repeats)) if not fast \
         else int(cfg["epochs"])
