@@ -318,6 +318,9 @@ def main():
                         platform=plat)
         res["reference"][str(seed)] = ref["history"]
         res["ours"][str(seed)] = ours["history"]
+        # checkpoint after every seed: a crash mid-sweep keeps finished pairs
+        with open(os.path.join(args.out, f"twin_{args.task}.json"), "w") as f:
+            json.dump(res, f, indent=1)
 
     with open(os.path.join(args.out, f"twin_{args.task}.json"), "w") as f:
         json.dump(res, f, indent=1)
