@@ -72,8 +72,8 @@ def setup():
     # copy torch weights -> our tree via the converter's preact name map
     # (.numpy() views can alias torch storage — always copy, CLAUDE.md)
     sd = {k: v.detach().numpy().copy() for k, v in tmodel.state_dict().items()}
-    params, stats, n = ctc.convert(sd, ctc.preact_name_map(18),
-                                   state.params, state.batch_stats)
+    params, stats, n, _ = ctc.convert(sd, ctc.preact_name_map(18),
+                                      state.params, state.batch_stats)
     assert n >= 60, n  # all convs/BNs/fc matched
     state = state.replace(params=params, batch_stats=stats)
     return tmodel, proxy, uawp, ops, state, x, y

@@ -237,6 +237,12 @@ def main():
     state_dict = {k.removeprefix("module."): v for k, v in state_dict.items()}
 
     import jax
+    # honor JAX_PLATFORMS even under the axon import hook, which rewrites
+    # jax_platforms during `import jax` (see tests/conftest.py) — without
+    # this, a JAX_PLATFORMS=cpu caller still lands on the TPU tunnel and
+    # hangs/fails whenever the tunnel is down
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
     from edge_enhancement_tpu.models.registry import build_model
     from edge_enhancement_tpu.train import checkpoint as ckpt
