@@ -42,7 +42,7 @@ def _wait_for_backend(max_wait_s: float = 900.0, probe_timeout: float = 420.0):
         time.sleep(60)
 
 
-_wait_for_backend()
+_wait_for_backend(float(os.environ.get("EE_BENCH_BACKEND_WAIT", 900)))
 
 import jax
 
