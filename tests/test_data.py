@@ -311,3 +311,49 @@ class TestRandomResizedCrop:
         assert out.shape == imgs.shape and out.dtype == np.uint8
         # crops differ per sample and from the originals (w.h.p.)
         assert not np.array_equal(out, imgs)
+
+
+class TestSyntheticHard:
+    """Property tests for the non-saturating twin/dress-rehearsal dataset
+    (synthetic_hard_images): determinism, label vocabulary, the background
+    noise level, and the per-sample contrast continuum that puts the AT
+    equilibrium mid-band (docs/TWIN.md)."""
+
+    def test_deterministic_and_typed(self):
+        from edge_enhancement_tpu.data.datasets import synthetic_hard_images
+        xa, ya = synthetic_hard_images(64, seed=7)
+        xb, yb = synthetic_hard_images(64, seed=7)
+        np.testing.assert_array_equal(xa, xb)
+        np.testing.assert_array_equal(ya, yb)
+        xc, _ = synthetic_hard_images(64, seed=8)
+        assert not np.array_equal(xa, xc)
+        assert xa.shape == (64, 64, 64, 3) and xa.dtype == np.uint8
+        assert ya.dtype == np.int32
+        assert set(np.unique(ya)) <= set(range(10))
+
+    def test_label_space_guard(self):
+        from edge_enhancement_tpu.data.datasets import synthetic_hard_images
+        with pytest.raises(ValueError):
+            synthetic_hard_images(8, seed=0, num_label_classes=5)
+
+    def test_background_noise_and_contrast_continuum(self):
+        from edge_enhancement_tpu.data.datasets import synthetic_hard_images
+        xs, ys = synthetic_hard_images(200, seed=3)
+        f = xs.astype(np.float32) / 255.0
+        # class-0 center is (14, 12); the far corner is background-only for
+        # every class: noise ~ U(0, 0.45) -> mean ~0.225
+        bg = f[:, 48:, :24].mean()
+        assert 0.15 < bg < 0.30, bg
+        # per-sample signal strength = brightness of the label's block
+        # neighbourhood minus background; a ~ U(0.05, 0.50) must give BOTH
+        # near-floor samples (unclassifiable) and strong ones (robust tail)
+        centers = [(14 + 18 * (c // 4), 12 + 13 * (c % 4)) for c in range(10)]
+        lift = []
+        for i in range(200):
+            cy, cx = centers[ys[i]]
+            y0, x0 = max(cy - 6, 0), max(cx - 6, 0)
+            lift.append(f[i, y0:y0 + 12, x0:x0 + 12].mean() - bg)
+        lift = np.asarray(lift)
+        assert (lift < 0.10).any(), lift.min()   # Bayes-floor tail exists
+        assert (lift > 0.25).any(), lift.max()   # robust tail exists
+        assert lift.std() > 0.05                 # a continuum, not two modes
