@@ -185,9 +185,15 @@ def run_reference(xs_tr, ys_tr, xs_va, ys_va, work_dir: str, epochs: int,
 
 
 def run_ours(xs_tr, ys_tr, xs_va, ys_va, init_pth, epochs: int,
-             num_steps: int, seed: int = 1, platform: str = "cpu") -> dict:
+             num_steps: int, seed: int = 1, platform: str = "cpu",
+             ckpt_path: str | None = None) -> dict:
     """Train with our stack. init_pth: reference torch init to copy
-    (twin mode), or None for a fresh flax init (task calibration)."""
+    (twin mode), or None for a fresh flax init (task calibration).
+    ckpt_path: optional pickle written after every epoch (params, BN stats,
+    momentum, RNG key, history) so an interrupted CPU run — hours per seed
+    on this 1-core box — resumes at the next epoch boundary with the same
+    trajectory (per-epoch shuffle/eval keys are stateless; the train key
+    chain is part of the checkpoint)."""
     import jax
     if platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
@@ -241,7 +247,24 @@ def run_ours(xs_tr, ys_tr, xs_va, ys_va, init_pth, epochs: int,
 
     key = jax.random.PRNGKey(seed)
     hist = {"clean": [], "adv": []}
-    for epoch in range(epochs):
+    start_epoch = 0
+    if ckpt_path and os.path.exists(ckpt_path):
+        import pickle
+        with open(ckpt_path, "rb") as f:
+            saved = pickle.load(f)
+        state = state.replace(
+            params=jax.tree_util.tree_map(jnp.asarray, saved["params"]),
+            batch_stats=jax.tree_util.tree_map(jnp.asarray,
+                                               saved["batch_stats"]),
+            momentum_buf=jax.tree_util.tree_map(jnp.asarray,
+                                                saved["momentum_buf"]),
+            step=saved["step"])
+        key = jnp.asarray(saved["key"])
+        hist = saved["hist"]
+        start_epoch = saved["epoch"] + 1
+        print(f"[ours seed{seed}] resumed at epoch {start_epoch}",
+              flush=True)
+    for epoch in range(start_epoch, epochs):
         for x, y in train_ds.batches(r["batch_size"], shuffle=True,
                                      seed=seed, epoch=epoch, as_uint8=True):
             key, k = jax.random.split(key)
@@ -262,6 +285,18 @@ def run_ours(xs_tr, ys_tr, xs_va, ys_va, init_pth, epochs: int,
         print(f"[ours seed{seed}] epoch {epoch}: clean "
               f"{hist['clean'][-1]:.2f} adv {hist['adv'][-1]:.2f}",
               flush=True)
+        if ckpt_path:
+            import pickle
+            host = jax.device_get
+            tmp = ckpt_path + ".tmp"
+            with open(tmp, "wb") as f:
+                pickle.dump({"params": host(state.params),
+                             "batch_stats": host(state.batch_stats),
+                             "momentum_buf": host(state.momentum_buf),
+                             "step": int(state.step),
+                             "key": host(key),
+                             "hist": hist, "epoch": epoch}, f)
+            os.replace(tmp, ckpt_path)
     return {"history": hist}
 
 
@@ -300,6 +335,12 @@ def main():
                           epochs=args.epochs, n_train=args.n_train),
            "task": args.task, "seeds": args.seeds,
            "reference": {}, "ours": {}}
+    # pick up completed ours-side seeds from an interrupted sweep
+    prev_p = os.path.join(args.out, f"twin_{args.task}.json")
+    if os.path.exists(prev_p):
+        prev = json.load(open(prev_p))
+        if prev.get("recipe") == res["recipe"]:
+            res["ours"].update(prev.get("ours", {}))
     for seed in args.seeds:
         ref_dir = os.path.join(args.out, f"ref_s{seed}")
         ref = parse_reference_log(ref_dir, args.epochs)
@@ -312,10 +353,17 @@ def main():
         if args.ref_only:
             res["reference"][str(seed)] = ref["history"]
             continue
+        if str(seed) in res["ours"] and \
+                len(res["ours"][str(seed)]["clean"]) >= args.epochs:
+            print(f"=> our run, seed {seed}: recovered from prior sweep")
+            res["reference"][str(seed)] = ref["history"]
+            continue
         print(f"=> our run, seed {seed} (same init) ...", flush=True)
         ours = run_ours(xs_tr, ys_tr, xs_va, ys_va, ref["init_pth"],
                         args.epochs, args.num_steps, seed=seed,
-                        platform=plat)
+                        platform=plat,
+                        ckpt_path=os.path.join(args.out,
+                                               f"ours_s{seed}.pkl"))
         res["reference"][str(seed)] = ref["history"]
         res["ours"][str(seed)] = ours["history"]
         # checkpoint after every seed: a crash mid-sweep keeps finished pairs
