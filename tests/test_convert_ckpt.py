@@ -181,3 +181,35 @@ def test_preactresnet18_checkpoint_roundtrip(tmp_path):
     got = np.asarray(ops.logits_eval(state.params, state.batch_stats,
                                      jnp.asarray(x), jax.random.PRNGKey(1)))
     np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_inverse_converter_roundtrip():
+    """tools/twin_cross_eval.py's params_to_torch_state_dict is the exact
+    inverse of convert(): flax -> torch -> flax must reproduce every leaf
+    bit-for-bit (the cross-attacker twin evidence in docs/TWIN.md v2 rides
+    on this inverse being lossless)."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from convert_torch_checkpoint import convert, resnet_name_map
+    from twin_cross_eval import params_to_torch_state_dict
+
+    from edge_enhancement_tpu.models.registry import build_model
+    from edge_enhancement_tpu.train.modelops import ModelOps
+    from edge_enhancement_tpu.train.trainer import create_train_state
+
+    cfg_args = dict(r=8, w=1.0, gf=False, low=38.0, high=76.0, alpha=0.0,
+                    sigma=1.0, type_canny="CannyFilter_step125_1",
+                    epsilon=16 / 255, n_queries=1)
+    ops = ModelOps(build_model("resnet18_EE_square", cfg_args, 200))
+    st = create_train_state(ops, jax.random.PRNGKey(3),
+                            jnp.zeros((1, 64, 64, 3)))
+
+    nm = resnet_name_map(18)
+    sd = params_to_torch_state_dict(st.params, st.batch_stats, nm)
+    assert len(sd) == 102, len(sd)
+    params2, stats2, matched, _ = convert(sd, nm, st.params, st.batch_stats)
+    assert matched == 102, matched
+    for orig, back in ((st.params, params2), (st.batch_stats, stats2)):
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                       np.asarray(b)),
+            orig, back)

@@ -27,6 +27,63 @@ from digital_twin_tiny import (RECIPE, run_ours, run_reference,  # noqa: E402
 
 EPOCHS, NTRAIN, NVAL, STEPS = 5, 250, 75, 3
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _converged(hist, k=2):
+    return {m: float(np.mean(hist[m][-k:])) for m in ("clean", "adv")}
+
+
+def test_twin_hard_artifact():
+    """Gate on the committed NON-SATURATING twin evidence (docs/TWIN.md v2,
+    output/twin_hard): the round-3 VERDICT's tightened-band item, applied
+    where tightness is honest — at convergence. (The trajectory mini below
+    keeps its loose tolerance: mid-trajectory spread across the six full
+    runs is 47-80 points at ~60 SGD steps; converged values are the
+    statistic the band is measured for.)
+
+    Asserts (1) the instrument is mid-band — clean not saturated, robust
+    meaningfully below clean, so drift COSTS POINTS here; (2) the
+    cross-stack gap of converged means stays within the measured per-side
+    seed band (+1pt for the borderline adv case, whose sign is attributed
+    below); (3) attacker equivalence: the reference's own validate()/PGD,
+    run on our trained weights via the inverse converter
+    (tools/twin_cross_eval.py), reproduces our self-reported robust
+    accuracy — so the twin's adv numbers are not an artifact of a weak
+    evaluator."""
+    import json
+    p = os.path.join(REPO, "output", "twin_hard", "twin_hard.json")
+    if not os.path.exists(p):
+        pytest.skip("full-run twin_hard artifacts not present")
+    d = json.load(open(p))
+    seeds = [str(s) for s in d["seeds"]]
+    conv = {side: {m: [_converged(d[side][s])[m] for s in seeds]
+                   for m in ("clean", "adv")} for side in ("reference",
+                                                           "ours")}
+    for side in ("reference", "ours"):
+        cm = np.mean(conv[side]["clean"])
+        am = np.mean(conv[side]["adv"])
+        assert 40.0 <= cm <= 95.0, (side, cm)          # mid-band, not 100/100
+        assert am <= cm - 5.0, (side, cm, am)          # attackable
+        assert am >= 30.0, (side, am)                  # but learnable
+
+    for m in ("clean", "adv"):
+        rv, ov = conv["reference"][m], conv["ours"][m]
+        band = max(max(rv) - min(rv), max(ov) - min(ov))
+        gap = abs(float(np.mean(rv)) - float(np.mean(ov)))
+        assert gap <= band + 1.0, (m, gap, band, rv, ov)
+
+    cross_adv, self_adv = [], []
+    for s in seeds:
+        cp = os.path.join(REPO, "output", "twin_hard", f"cross_s{s}.json")
+        if not os.path.exists(cp):
+            pytest.skip("cross-attacker artifacts not present")
+        c = json.load(open(cp))
+        cross_adv.append(c["reference_attacker_on_our_weights"]["adv"])
+        self_adv.append(_converged(d["ours"][s])["adv"])
+    assert abs(float(np.mean(cross_adv))
+               - float(np.mean(self_adv))) <= 3.0, (cross_adv, self_adv)
+
 
 @pytest.mark.slow
 def test_digital_twin_tiny_mini(tmp_path, monkeypatch):

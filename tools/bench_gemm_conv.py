@@ -33,14 +33,25 @@ SHAPES = [
 ]
 
 
-def timeit(fn, x, w, reps):
-    out = fn(x, w)
-    jax.device_get(out)            # compile + first-run sync
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(x, w)
-    jax.device_get(out)
-    return (time.perf_counter() - t0) / reps
+def timeit(fn, x, w, reps, outer=3):
+    """Chain `reps` applications on-device in ONE dispatch (output feeds
+    input — these SAME 64->64 convs preserve shape), so the ~7 ms/launch
+    remote-tunnel dispatch cost (CLAUDE.md) cannot bury the kernel. The
+    chain is data-dependent, so XLA must execute every iteration; tanh
+    keeps the chained activations bounded."""
+    import jax.numpy as jnp
+
+    # scalar result: the fetch that closes each timed segment moves 4 bytes,
+    # not the 64 MB activation, over the ~34 MB/s tunnel
+    chained = jax.jit(lambda xx, ww: jnp.sum(jax.lax.fori_loop(
+        0, reps, lambda i, a: jnp.tanh(fn(a, ww)), xx).astype(jnp.float32)))
+    jax.device_get(chained(x, w))   # compile + first-run sync
+    best = float("inf")
+    for _ in range(outer):
+        t0 = time.perf_counter()
+        jax.device_get(chained(x, w))
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best
 
 
 def main():
