@@ -12,6 +12,7 @@ segment.
 """
 
 import argparse
+import functools
 import os
 import sys
 import time
@@ -58,31 +59,56 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=50)
     ap.add_argument("--dtype", default="bfloat16")
-    ap.add_argument("--images-per-block", type=int, default=8)
+    ap.add_argument("--ib", type=int, nargs="+", default=None,
+                    help="images_per_block candidates (default: per-shape "
+                         "sweep bounded by the ~16 MB scoped-VMEM limit)")
+    ap.add_argument("--shape", default=None,
+                    help="substring filter on the shape label")
     args = ap.parse_args()
     dt = jnp.dtype(args.dtype)
     print(f"backend: {jax.default_backend()}, dtype {dt}")
+
+    from edge_enhancement_tpu.ops.pallas.gemm_conv import (conv_cgemm_flat,
+                                                           pack_weights)
 
     native = jax.jit(lambda x, w: jax.lax.conv_general_dilated(
         x, w, (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32).astype(x.dtype))
-    pallas = jax.jit(lambda x, w: conv_cgemm_nhwc(
-        x, w, images_per_block=args.images_per_block))
 
     for label, b, h, w_, ci, co in SHAPES:
+        if args.shape and args.shape not in label:
+            continue
         rng = np.random.default_rng(0)
         x = jnp.asarray(rng.standard_normal((b, h, w_, ci)), dt)
         wk = jnp.asarray(rng.standard_normal((3, 3, ci, co)) * 0.1, dt)
-        # correctness spot-check on-device
-        d = jnp.max(jnp.abs(native(x, wk).astype(jnp.float32)
-                            - pallas(x, wk).astype(jnp.float32)))
         gf = 2 * b * h * w_ * ci * co * 9 / 1e9
         tn = timeit(native, x, wk, args.reps)
-        tp = timeit(pallas, x, wk, args.reps)
-        print(f"{label}: native {tn*1e3:.3f} ms ({gf/tn:.0f} GFLOP/s) | "
-              f"cgemm {tp*1e3:.3f} ms ({gf/tp:.0f} GFLOP/s) | "
-              f"speedup {tn/tp:.2f}x | maxdiff {float(d):.2e}")
+        print(f"{label}: native {tn*1e3:.3f} ms ({gf/tn:.0f} GFLOP/s)")
+
+        # ib sweep bounded so the block (cin x ib*h*w bf16; measured ~7
+        # live copies on the shift/concat stack — Mosaic reported 20.9M for
+        # a 2.1M block) stays under the 16 MB scoped VMEM
+        cands = args.ib or [ib for ib in (1, 2, 4, 8, 16)
+                            if ib <= b and ci * ib * h * w_ * 2 * 7 < 14e6]
+        for ib in cands:
+            pallas = jax.jit(functools.partial(conv_cgemm_nhwc,
+                                               images_per_block=ib))
+            d = jnp.max(jnp.abs(native(x, wk).astype(jnp.float32)
+                                - pallas(x, wk).astype(jnp.float32)))
+            tp = timeit(pallas, x, wk, args.reps)
+            # kernel-only: chain in the flat channel-major layout (cin==cout
+            # here), charging NO boundary transposes — isolates the kernel
+            # itself from its NHWC integration cost
+            wf = pack_weights(wk).astype(dt)
+            flat = jax.jit(lambda xf, wf_, _ib=ib: conv_cgemm_flat(
+                xf, wf_, H=h, W=w_, images_per_block=_ib))
+            xf = jnp.transpose(x, (3, 0, 1, 2)).reshape(ci, b * h * w_)
+            tf_ = timeit(flat, xf, wf, args.reps)
+            print(f"  cgemm ib={ib}: nhwc {tp*1e3:.3f} ms "
+                  f"({gf/tp:.0f} GFLOP/s, {tn/tp:.2f}x) | flat-kernel-only "
+                  f"{tf_*1e3:.3f} ms ({gf/tf_:.0f} GFLOP/s, {tn/tf_:.2f}x) "
+                  f"| maxdiff {float(d):.2e}")
 
 
 if __name__ == "__main__":
