@@ -213,3 +213,75 @@ def test_inverse_converter_roundtrip():
             lambda a, b: np.testing.assert_array_equal(np.asarray(a),
                                                        np.asarray(b)),
             orig, back)
+
+
+def _export_to_torch(tmp_path, arch, num_classes, cize, channels, margs,
+                     seed=5):
+    """Build a fresh flax state, save it as an orbax checkpoint, export it
+    with `--to-torch`, and return (ops, state, pth_path)."""
+    from edge_enhancement_tpu.models.registry import build_model
+    from edge_enhancement_tpu.train import checkpoint as ckpt
+    from edge_enhancement_tpu.train.modelops import ModelOps
+    from edge_enhancement_tpu.train.trainer import create_train_state
+    ops = ModelOps(build_model(arch, margs, num_classes))
+    state = create_train_state(ops, jax.random.PRNGKey(seed),
+                               jnp.zeros((1, cize, cize, channels)))
+    ckpt_dir = tmp_path / "ours"
+    ckpt.save_checkpoint(str(ckpt_dir), jax.device_get(state), 3, arch,
+                         55.5, is_best=True)
+    pth = tmp_path / "exported.pth"
+    r = subprocess.run(
+        [sys.executable, TOOL, str(ckpt_dir), str(pth), "--arch", arch,
+         "--num-classes", str(num_classes), "--cize", str(cize),
+         "--to-torch"],
+        capture_output=True, text=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stdout + r.stderr
+    return ops, state, pth
+
+
+def test_to_torch_export_resnet18_ee(tmp_path):
+    """Reverse migration: `--to-torch` writes a reference-format .pth the
+    reference's own model consumes, logits matching our checkpoint (the
+    bidirectional complement of test_resnet18_ee_checkpoint_roundtrip)."""
+    sys.path.insert(0, REF)
+    from Tiny_ImageNet.models_tinyimagenet.resnet_EE import resnet18_EE
+    ops, state, pth = _export_to_torch(tmp_path, "resnet18_EE", 200, 64, 3,
+                                       EE_ARGS)
+    payload = torch.load(str(pth), map_location="cpu", weights_only=False)
+    assert payload["epoch"] == 3 and payload["best_prec1"] == 55.5
+    tm = resnet18_EE(pretrained=False, num_classes=200, cize=64, r=8, w=1.0,
+                     with_gf=False, low=38.0, high=76.0, alpha=0.0,
+                     sigma=1.0, type_canny="CannyFilter_step125_1")
+    missing, unexpected = tm.load_state_dict(payload["state_dict"],
+                                             strict=False)
+    assert not unexpected, unexpected
+    tm.eval()
+    x = np.random.default_rng(5).random((2, 64, 64, 3)).astype(np.float32)
+    want = np.asarray(ops.logits_eval(state.params, state.batch_stats,
+                                      jnp.asarray(x), jax.random.PRNGKey(1)))
+    got = tm(torch.from_numpy(x.transpose(0, 3, 1, 2).copy())
+             ).detach().numpy()
+    np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_to_torch_export_net2_fc_remap(tmp_path):
+    """The Net2 export must UNDO the NHWC->NCHW flatten-order remap on fc1
+    (the forward converter's _FLATTEN_REMAP) — logits through the
+    reference's own Net_2 pin the inverse permutation."""
+    sys.path.insert(0, REF)
+    from MNIST.models_mnist.Net2 import Net_2
+    ops, state, pth = _export_to_torch(tmp_path, "Net2", 10, 28, 1, {},
+                                       seed=6)
+    payload = torch.load(str(pth), map_location="cpu", weights_only=False)
+    tm = Net_2()
+    missing, unexpected = tm.load_state_dict(payload["state_dict"],
+                                             strict=False)
+    assert not unexpected, unexpected
+    tm.eval()
+    x = np.random.default_rng(6).random((2, 28, 28, 1)).astype(np.float32)
+    want = np.asarray(ops.logits_eval(state.params, state.batch_stats,
+                                      jnp.asarray(x), jax.random.PRNGKey(1)))
+    got = tm(torch.from_numpy(x.transpose(0, 3, 1, 2).copy())
+             ).detach().numpy()
+    np.testing.assert_allclose(got, want, atol=1e-4)

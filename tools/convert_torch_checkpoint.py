@@ -180,6 +180,57 @@ def convert(state_dict: dict, name_map: dict, params, batch_stats,
     return new_params, new_stats, matched[0], skipped
 
 
+def params_to_torch_state_dict(params, batch_stats, name_map) -> dict:
+    """Inverse of convert(): our (params, batch_stats) trees -> a torch
+    state_dict (conv HWIO->OIHW, dense (in,out)->(out,in), BN leaf renames).
+    Bit-exact round-trip pinned by
+    tests/test_convert_ckpt.py::test_inverse_converter_roundtrip. Accepts
+    live jax trees or orbax-restored nested dicts. Powers `--to-torch`
+    (migration back to the reference) and the twin cross-attacker
+    evaluation (tools/twin_cross_eval.py)."""
+    import jax
+    import torch
+
+    flat = {}
+    for tree in (params, batch_stats):
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            keys = tuple(getattr(p, "key", str(p)) for p in path)
+            flat[keys] = np.asarray(leaf)
+
+    def t(a):
+        return torch.from_numpy(a.copy())
+
+    sd = {}
+    for tname, fpath in name_map.items():
+        kernel = flat.get(fpath + ("kernel",))
+        if kernel is not None:
+            if kernel.ndim == 4:                     # conv: HWIO -> OIHW
+                sd[tname + ".weight"] = t(np.ascontiguousarray(
+                    kernel.transpose(3, 2, 0, 1)))
+            else:                                    # dense: (in,out)->(out,in)
+                w = np.ascontiguousarray(kernel.T)
+                leaf = tname.rsplit(".", 1)[-1]
+                if leaf in _FLATTEN_REMAP:           # undo the NHWC row remap
+                    c, hh, ww = _FLATTEN_REMAP[leaf]
+                    idx = np.arange(c * hh * ww)
+                    ci, hi, wi = (idx // (hh * ww), (idx % (hh * ww)) // ww,
+                                  idx % ww)
+                    nhwc_pos = hi * (ww * c) + wi * c + ci
+                    back = np.zeros_like(w)
+                    back[:, idx] = w[:, nhwc_pos]
+                    w = back
+                sd[tname + ".weight"] = t(w)
+            bias = flat.get(fpath + ("bias",))
+            if bias is not None:
+                sd[tname + ".bias"] = t(bias)
+        elif fpath + ("scale",) in flat:             # batchnorm
+            sd[tname + ".weight"] = t(flat[fpath + ("scale",)])
+            sd[tname + ".bias"] = t(flat[fpath + ("bias",)])
+            sd[tname + ".running_mean"] = t(flat[fpath + ("mean",)])
+            sd[tname + ".running_var"] = t(flat[fpath + ("var",)])
+    return sd
+
+
 def name_map_for_arch(arch: str) -> dict:
     import re
     m = re.fullmatch(r"resnet(\d+).*", arch)
@@ -228,13 +279,17 @@ def main():
     ap.add_argument("--type-canny", default="CannyFilter_step125_1")
     ap.add_argument("--epsilon", type=float, default=0.062745098)
     ap.add_argument("--n-queries", type=int, default=1)
+    ap.add_argument("--to-torch", action="store_true",
+                    help="reverse direction: ckpt is OUR orbax checkpoint "
+                         "dir, out_dir is a .pth path; writes a reference"
+                         "-format torch payload {epoch, arch, state_dict, "
+                         "best_prec1} the reference drivers resume from "
+                         "(utils/helper.py:58-61)")
+    ap.add_argument("--which", default="best", choices=["best", "last"],
+                    help="--to-torch: which orbax snapshot to export")
     args = ap.parse_args()
 
     import torch
-    payload = torch.load(args.ckpt, map_location="cpu", weights_only=False)
-    state_dict = payload.get("state_dict", payload)
-    # DataParallel prefix
-    state_dict = {k.removeprefix("module."): v for k, v in state_dict.items()}
 
     import jax
     # honor JAX_PLATFORMS even under the axon import hook, which rewrites
@@ -243,6 +298,30 @@ def main():
     # hangs/fails whenever the tunnel is down
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    if args.to_torch:
+        from edge_enhancement_tpu.train import checkpoint as ckpt
+        payload = ckpt.load_checkpoint(args.ckpt, which=args.which)
+        if payload is None:
+            raise SystemExit(f"no '{args.which}' checkpoint under "
+                             f"{args.ckpt}")
+        sd = params_to_torch_state_dict(payload["state"]["params"],
+                                        payload["state"]["batch_stats"],
+                                        name_map_for_arch(args.arch))
+        meta = payload["meta"]
+        out = args.out_dir
+        os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
+        torch.save({"epoch": int(meta["epoch"]), "arch": args.arch,
+                    "state_dict": sd,
+                    "best_prec1": float(meta["best_prec1"])}, out)
+        print(f"exported {len(sd)} tensors -> {out} "
+              f"(epoch {meta['epoch']}, best_prec1 {meta['best_prec1']})")
+        return
+    payload = torch.load(args.ckpt, map_location="cpu", weights_only=False)
+    state_dict = payload.get("state_dict", payload)
+    # DataParallel prefix
+    state_dict = {k.removeprefix("module."): v for k, v in state_dict.items()}
+
     import jax.numpy as jnp
     from edge_enhancement_tpu.models.registry import build_model
     from edge_enhancement_tpu.train import checkpoint as ckpt

@@ -37,42 +37,8 @@ from digital_twin import _install_reference_shims  # noqa: E402
 from digital_twin_tiny import NUM_CLASSES, RECIPE, TASKS  # noqa: E402
 
 
-def params_to_torch_state_dict(params, batch_stats, name_map) -> dict:
-    """Inverse of convert_torch_checkpoint.convert for conv/bn/dense leaves:
-    flax (params, batch_stats) -> torch state_dict tensors."""
-    import jax
-    import torch
-
-    flat = {}
-    for tree in (params, batch_stats):
-        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
-            keys = tuple(getattr(p, "key", str(p)) for p in path)
-            flat[keys] = np.asarray(leaf)
-
-    sd = {}
-    for tname, fpath in name_map.items():
-        kernel = flat.get(fpath + ("kernel",))
-        if kernel is not None:
-            if kernel.ndim == 4:                       # conv: HWIO -> OIHW
-                sd[tname + ".weight"] = torch.from_numpy(
-                    np.ascontiguousarray(kernel.transpose(3, 2, 0, 1)))
-            else:                                      # dense: (in,out) -> (out,in)
-                sd[tname + ".weight"] = torch.from_numpy(
-                    np.ascontiguousarray(kernel.T))
-            bias = flat.get(fpath + ("bias",))
-            if bias is not None:
-                sd[tname + ".bias"] = torch.from_numpy(bias.copy())
-        elif fpath + ("scale",) in flat:               # batchnorm
-            sd[tname + ".weight"] = _t(flat[fpath + ("scale",)])
-            sd[tname + ".bias"] = _t(flat[fpath + ("bias",)])
-            sd[tname + ".running_mean"] = _t(flat[fpath + ("mean",)])
-            sd[tname + ".running_var"] = _t(flat[fpath + ("var",)])
-    return sd
-
-
-def _t(a):
-    import torch
-    return torch.from_numpy(a.copy())
+# single implementation in the converter (also powers its --to-torch mode)
+from convert_torch_checkpoint import params_to_torch_state_dict  # noqa: E402,F401
 
 
 def main():
