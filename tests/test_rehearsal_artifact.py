@@ -1,0 +1,118 @@
+"""Gate the committed dress-rehearsal artifacts (docs/REHEARSAL.md).
+
+The round-3 VERDICT's item 2 asked for the flagship recipe at production
+shape — configs/tiny_imagenet/ee_at_bpda3_square.yml verbatim on a
+100k-image synthetic TinyIN with steps_per_dispatch, a deliberate mid-run
+kill + --resume, and the full eval battery (reference match:
+Tiny_ImageNet/experiments_tinyimagenet.py:246-295 epoch loop at the
+utils/data_loader.py:61-94 dataset scale). These tests parse the committed
+evidence (docs/demo/rehearsal_*.txt) and pin the properties that make it
+a *real* AT run rather than a smoke artifact: robust overfitting with
+best-checkpoint tracking, state restore across the kill, and the standard
+attack-strength ordering in the eval battery. Pure text parsing — no jax.
+"""
+import os
+import re
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LOG = os.path.join(REPO, "docs", "demo", "rehearsal_flagship_log.txt")
+EVAL = os.path.join(REPO, "docs", "demo", "rehearsal_eval_report.txt")
+
+
+def _epoch_series(text):
+    """[(clean, adv)] per validated epoch, in log order."""
+    cleans = [float(m) for m in re.findall(r"\* Clean Prec@1 ([\d.]+)", text)]
+    advs = [float(m) for m in re.findall(r"\* Adv Prec@1 ([\d.]+)", text)]
+    assert len(cleans) == len(advs)
+    return list(zip(cleans, advs))
+
+
+@pytest.fixture(scope="module")
+def log_text():
+    if not os.path.exists(LOG):
+        pytest.skip("rehearsal artifacts not present")
+    with open(LOG) as f:
+        return f.read()
+
+
+@pytest.fixture(scope="module")
+def eval_metrics():
+    if not os.path.exists(EVAL):
+        pytest.skip("rehearsal eval report not present")
+    with open(EVAL) as f:
+        text = f.read()
+    out = {}
+    for name, _, adv in re.findall(
+            r"([\w-]+): clean Prec@1 ([\d.]+)\s+(?:adv|robust) Prec@1 ([\d.]+)",
+            text):
+        out[name] = float(adv)
+    out["_epoch"] = int(re.search(r"loaded checkpoint \(epoch (\d+)\)",
+                                  text).group(1))
+    return out
+
+
+def test_production_shape(log_text):
+    """50 scheduled epochs x 1000 steps of bs100 = the reference's TinyIN
+    scale, plus the 3 post-resume epochs of the kill/restore leg."""
+    series = _epoch_series(log_text)
+    assert len(series) >= 53
+    assert "Epoch: [49][950/1000]" in log_text  # full epochs at 100k/bs100
+
+
+def test_robust_overfitting_and_best_tracking(log_text):
+    """Long-schedule AT must show robust overfitting (best robust well
+    before the end) and the trainer must track it: every '=> done' line
+    reports the global max, not the final epoch."""
+    series = _epoch_series(log_text)
+    advs = [a for _, a in series[:50]]  # the original 50-epoch run
+    best = max(advs)
+    best_epoch = advs.index(best)
+    assert best_epoch < 40, "no robust-overfitting shape — suspicious run"
+    assert advs[-1] < best - 1.0
+    done = [float(m) for m in
+            re.findall(r"=> done\. best robust-eval Prec@1 ([\d.]+)", log_text)]
+    assert done, "no completion marker"
+    for d in done:
+        assert d == pytest.approx(best, abs=0.01), \
+            "best-robust metric not preserved (resume must restore it)"
+
+
+def test_midrun_kill_resume_markers(log_text):
+    """The deliberate mid-run kill: a resume from the epoch-50 'last'
+    checkpoint, a kill inside epoch 51, and a second resume that restores
+    epoch 51 — both restores logged with the right epoch."""
+    resumed = [int(m) for m in
+               re.findall(r"=> resumed from .* \(epoch (\d+)\)", log_text)]
+    assert resumed == [50, 51]
+    # post-resume epochs ran to completion and validated
+    assert "Epoch: [52][950/1000]" in log_text
+
+
+def test_nonsaturating_regime(log_text):
+    """The run sits in the mid-band the hard task was designed for
+    (docs/TWIN.md) — not the 100/100 fixed point the round-3 VERDICT
+    flagged as an uninformative instrument."""
+    series = _epoch_series(log_text)
+    cleans = [c for c, _ in series]
+    advs = [a for _, a in series]
+    assert max(cleans) < 97.0
+    assert max(advs) < max(cleans) - 5.0
+    assert min(advs[10:]) > 40.0  # converged, not collapsed
+
+
+def test_eval_battery_attack_ordering(eval_metrics, log_text):
+    """The standard strength ordering of the battery on one model:
+    FGSM weakest, PGD monotone in iterations, CW-20 between, AutoAttack
+    strongest — and the battery ran on the best (robust-peak) checkpoint."""
+    m = eval_metrics
+    assert m["FGSM"] > m["PGD-10"] > m["PGD-50"] > m["PGD-100"]
+    assert m["PGD-10"] < m["CW-Linf-20"] < m["FGSM"]
+    assert m["AutoAttack"] < m["PGD-100"]
+    # eval loaded ckpt/best == argmax of the in-training robust series + 1
+    advs = [a for _, a in _epoch_series(log_text)[:50]]
+    assert m["_epoch"] == advs.index(max(advs)) + 1
+    # the two evaluators (in-training validate vs eval.py PGD-10) agree on
+    # the same weights up to attack RNG / batch order
+    assert abs(m["PGD-10"] - max(advs)) < 3.0
