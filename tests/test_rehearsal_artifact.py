@@ -116,3 +116,21 @@ def test_eval_battery_attack_ordering(eval_metrics, log_text):
     # the two evaluators (in-training validate vs eval.py PGD-10) agree on
     # the same weights up to attack RNG / batch order
     assert abs(m["PGD-10"] - max(advs)) < 3.0
+
+
+def test_cross_evaluator_agreement():
+    """The reference's own validate() (torch, its PGD) scores the
+    rehearsal checkpoint within evaluator-RNG noise of our eval stack on
+    identical samples (tools/rehearsal_cross_eval.py artifact) — the
+    rehearsal numbers are a property of the model, not our evaluator."""
+    import json
+    p = os.path.join(REPO, "output", "rehearsal", "cross_eval.json")
+    if not os.path.exists(p):
+        pytest.skip("cross-eval artifact not present")
+    with open(p) as f:
+        res = json.load(f)
+    ours, ref = res["ours_eval"], res["reference_validate_on_our_weights"]
+    assert abs(ours["clean"] - ref["clean"]) < 1.0
+    assert abs(ours["adv"] - ref["adv"]) < 4.0
+    # and the slice is representative of the full-split battery numbers
+    assert abs(ours["adv"] - 76.37) < 5.0
