@@ -134,3 +134,32 @@ def test_cross_evaluator_agreement():
     assert abs(ours["adv"] - ref["adv"]) < 4.0
     # and the slice is representative of the full-split battery numbers
     assert abs(ours["adv"] - 76.37) < 5.0
+
+
+def test_free_at_rehearsal_noise_restore():
+    """Free-AT replay-family rehearsal (docs/REHEARSAL.md): every resume
+    leg restored BOTH the model checkpoint and the persistent replay-noise
+    shard, the restored noise is a saturated trained buffer (max |n| ==
+    clip_eps 4/255), and training progressed across the kills."""
+    p = os.path.join(REPO, "docs", "demo", "rehearsal_free_log.txt")
+    if not os.path.exists(p):
+        pytest.skip("free-AT rehearsal artifact not present")
+    with open(p) as f:
+        text = f.read()
+    resumed = [int(m) for m in
+               re.findall(r"=> resumed from .* \(epoch (\d+)\)", text)]
+    noise = re.findall(
+        r"=> restored free-AT replay noise shard \((\d+), (\d+), (\d+), "
+        r"(\d+)\) \(max \|n\| = ([\d.]+)\)", text)
+    assert resumed == [6, 10, 11]       # incl. the mid-epoch-11 kill
+    assert len(noise) == len(resumed)   # a noise restore for every resume
+    for shape_and_max in noise:
+        assert tuple(map(int, shape_and_max[:4])) == (128, 224, 224, 3)
+        assert float(shape_and_max[4]) == pytest.approx(4 / 255, abs=2e-4)
+    assert "WARNING: free-AT noise" not in text  # no silent reset path
+    # training progressed across the kill boundaries
+    advs = [float(m) for m in re.findall(r"\* Adv Prec@1 ([\d.]+)", text)]
+    assert len(advs) == 14 and advs[-1] > 70.0 > advs[0]
+    done = [float(m) for m in
+            re.findall(r"=> done\. best robust-eval Prec@1 ([\d.]+)", text)]
+    assert done and done[-1] == pytest.approx(max(advs), abs=0.01)

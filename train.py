@@ -144,6 +144,8 @@ def run_free_fast(cfg, ops, mesh, state, train_ds, val_ds, log, out_dir,
         shard = ckpt.load_noise_shard(cfg["resume"])
         if shard is not None and shard.shape == noise_host.shape:
             noise_host = shard
+            log(f"=> restored free-AT replay noise shard "
+                f"{noise_host.shape} (max |n| = {np.abs(noise_host).max():.4f})")
         else:
             payload = ckpt.load_checkpoint(cfg["resume"])
             saved_noise = None
