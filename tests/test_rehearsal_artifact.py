@@ -163,3 +163,29 @@ def test_free_at_rehearsal_noise_restore():
     done = [float(m) for m in
             re.findall(r"=> done\. best robust-eval Prec@1 ([\d.]+)", text)]
     assert done and done[-1] == pytest.approx(max(advs), abs=0.01)
+
+
+def test_fast_at_phase_chain():
+    """Fast-AT 3-phase progressive-resize rehearsal (docs/REHEARSAL.md):
+    the cross-config resume chain ran with the shipped configs verbatim —
+    each phase restored the previous phase's checkpoint at the right
+    epoch while batch size and crop changed (run names pin bs), and the
+    evaluate config ran the PGD-50 battery on the phase-3 checkpoint."""
+    p = os.path.join(REPO, "docs", "demo", "rehearsal_fast_log.txt")
+    if not os.path.exists(p):
+        pytest.skip("fast-AT rehearsal artifact not present")
+    with open(p) as f:
+        text = f.read()
+    resumed = re.findall(r"=> resumed from .*/(phase\d|eval)/imagenet/"
+                         r"fast_AT/resnet50_EE-(bs\d+)-[^ ]* \(epoch (\d+)\)",
+                         text)
+    assert [(src, bs, int(e)) for src, bs, e in resumed] == [
+        ("phase1", "bs256", 6),   # -> phase 2 @224
+        ("phase2", "bs128", 12),  # -> phase 3 @288
+        ("phase3", "bs96", 15),   # -> evaluate config
+    ]
+    assert "=> evaluate num_steps:50" in text
+    # the battery produced clean+adv summary lines after the evaluate marker
+    tail = text.split("=> evaluate num_steps:50", 1)[1]
+    assert re.search(r"\* Clean Prec@1 [\d.]+", tail)
+    assert re.search(r"\* Adv Prec@1 [\d.]+", tail)
