@@ -189,3 +189,25 @@ def test_fast_at_phase_chain():
     tail = text.split("=> evaluate num_steps:50", 1)[1]
     assert re.search(r"\* Clean Prec@1 [\d.]+", tail)
     assert re.search(r"\* Adv Prec@1 [\d.]+", tail)
+
+
+def test_awp_rehearsal_learned():
+    """AWP-family rehearsal (docs/REHEARSAL.md): the proxy-perturb
+    objective trained PreActResNet18_EE_BPDA_3 to a mid-band equilibrium
+    on the non-saturating task (real AT learning, not chance and not
+    saturation)."""
+    p = os.path.join(REPO, "docs", "demo", "rehearsal_awp_log.txt")
+    if not os.path.exists(p):
+        pytest.skip("AWP rehearsal artifact not present")
+    with open(p) as f:
+        text = f.read()
+    assert "method EE_AT_AWP" in text
+    series = _epoch_series(text)
+    cleans = [c for c, _ in series]
+    advs = [a for _, a in series]
+    assert len(series) >= 6
+    assert cleans[-1] > 75.0 and max(cleans) < 97.0  # learned, mid-band
+    assert 50.0 < advs[-1] < cleans[-1]              # robust below clean
+    done = [float(m) for m in
+            re.findall(r"=> done\. best robust-eval Prec@1 ([\d.]+)", text)]
+    assert done and done[-1] == pytest.approx(max(advs), abs=0.01)
