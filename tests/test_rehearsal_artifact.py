@@ -211,3 +211,54 @@ def test_awp_rehearsal_learned():
     done = [float(m) for m in
             re.findall(r"=> done\. best robust-eval Prec@1 ([\d.]+)", text)]
     assert done and done[-1] == pytest.approx(max(advs), abs=0.01)
+
+
+def test_tar_rehearsal_learned():
+    """Targeted-family rehearsal: tarEE_BPDA3_AT_square converged to a
+    mid-band equilibrium on the non-saturating task."""
+    p = os.path.join(REPO, "docs", "demo", "rehearsal_tar_log.txt")
+    if not os.path.exists(p):
+        pytest.skip("tar rehearsal artifact not present")
+    with open(p) as f:
+        text = f.read()
+    assert "method tarEE_BPDA3_AT_square" in text
+    series = _epoch_series(text)
+    cleans = [c for c, _ in series]
+    advs = [a for _, a in series]
+    assert len(series) >= 6
+    assert cleans[-1] > 85.0 and max(cleans) < 97.0
+    assert 60.0 < advs[-1] < cleans[-1]
+
+
+def test_trades_divergence_is_faithful():
+    """TRADES at the shipped TinyIN recipe diverges on synthetic-hard —
+    and the REFERENCE's own Trades class diverges on the same trajectory
+    (probe_trades_{ours,ref}.txt): geometric logit explosion to NaN
+    within <=8 steps in BOTH stacks. A rebuild that 'fixed' this would be
+    unfaithful; a rebuild that diverged when the reference did not would
+    be buggy."""
+    import json
+    pours = os.path.join(REPO, "docs", "demo", "probe_trades_ours.txt")
+    pref = os.path.join(REPO, "docs", "demo", "probe_trades_ref.txt")
+    if not (os.path.exists(pours) and os.path.exists(pref)):
+        pytest.skip("TRADES divergence probes not present")
+
+    def trajectory(path):
+        rows = []
+        with open(path) as f:
+            for line in f:
+                if line.startswith("{"):
+                    rows.append(json.loads(line))
+        return rows
+
+    for rows in (trajectory(pours), trajectory(pref)):
+        finite = [r for r in rows if r["params_finite"]]
+        assert len(finite) < len(rows) <= 9, "no divergence recorded"
+        # geometric logit growth while params stay bounded
+        lm = [r["logit_max"] for r in finite]
+        assert lm[-1] > 100 * lm[0]
+        assert all(r["param_max"] < 2.0 for r in finite)
+        # both stacks blow up within one step of each other
+    ours_step = len([r for r in trajectory(pours) if r["params_finite"]])
+    ref_step = len([r for r in trajectory(pref) if r["params_finite"]])
+    assert abs(ours_step - ref_step) <= 2
