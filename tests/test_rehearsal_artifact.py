@@ -262,3 +262,50 @@ def test_trades_divergence_is_faithful():
     ours_step = len([r for r in trajectory(pours) if r["params_finite"]])
     ref_step = len([r for r in trajectory(pref) if r["params_finite"]])
     assert abs(ours_step - ref_step) <= 2
+
+
+def _divergence_check(pours, pref, max_steps=11):
+    import json
+
+    def trajectory(path):
+        rows = []
+        with open(path) as f:
+            for line in f:
+                if line.startswith("{"):
+                    rows.append(json.loads(line))
+        return rows
+
+    steps = []
+    for rows in (trajectory(pours), trajectory(pref)):
+        finite = [r for r in rows if r["params_finite"]]
+        assert len(finite) < len(rows) <= max_steps, "no divergence recorded"
+        steps.append(len(finite))
+    assert abs(steps[0] - steps[1]) <= 2
+
+
+def test_alp_divergence_is_faithful():
+    """ALP at the shipped TinyIN recipe diverges on synthetic-hard via
+    runaway beta*MSE — and the REFERENCE's own ALP class diverges the same
+    way within two steps of ours (probe_alp_{ours,ref}.txt)."""
+    pours = os.path.join(REPO, "docs", "demo", "probe_alp_ours.txt")
+    pref = os.path.join(REPO, "docs", "demo", "probe_alp_ref.txt")
+    if not (os.path.exists(pours) and os.path.exists(pref)):
+        pytest.skip("ALP divergence probes not present")
+    _divergence_check(pours, pref)
+
+
+def test_avmixup_rehearsal_learned():
+    """AVmixup rehearsal: soft-label mixing converges with clean near
+    saturation and robust meaningfully below — the expected shape."""
+    p = os.path.join(REPO, "docs", "demo", "rehearsal_avmixup_log.txt")
+    if not os.path.exists(p):
+        pytest.skip("AVmixup rehearsal artifact not present")
+    with open(p) as f:
+        text = f.read()
+    assert "method AVmixup" in text
+    series = _epoch_series(text)
+    cleans = [c for c, _ in series]
+    advs = [a for _, a in series]
+    assert len(series) >= 6
+    assert cleans[-1] > 95.0
+    assert 60.0 < advs[-1] < cleans[-1] - 5.0

@@ -29,9 +29,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--bs", type=int, default=100)
-    ap.add_argument("--beta", type=float, default=6.0)
+    ap.add_argument("--method", default="TRADES", choices=["TRADES", "ALP"])
+    ap.add_argument("--beta", type=float, default=None,
+                    help="default: the shipped config's value (TRADES 6.0, "
+                         "ALP 1.0)")
     ap.add_argument("--lr", type=float, default=0.1)
     args = ap.parse_args()
+    if args.beta is None:
+        args.beta = 6.0 if args.method == "TRADES" else 1.0
 
     _install_reference_shims()
     tiny = "/root/reference/Tiny_ImageNet"
@@ -42,7 +47,7 @@ def main():
 
     from models_tinyimagenet import resnet18
     sys.path.insert(0, "/root/reference")
-    from utils.attacks import Trades
+    from utils.attacks import ALP, Trades
 
     from edge_enhancement_tpu.data.datasets import synthetic_hard_images
 
@@ -50,8 +55,9 @@ def main():
     model = resnet18(pretrained=False)
     opt = torch.optim.SGD(model.parameters(), lr=args.lr, momentum=0.9,
                           weight_decay=2e-4)
-    crit = Trades(step_size=0.003921568627451, epsilon=0.062745098039216,
-                  perturb_steps=10, beta=args.beta)
+    cls = Trades if args.method == "TRADES" else ALP
+    crit = cls(step_size=0.003921568627451, epsilon=0.062745098039216,
+               perturb_steps=10, beta=args.beta)
 
     xs, ys = synthetic_hard_images(args.bs * args.steps, seed=1)
     for i in range(args.steps):
@@ -62,8 +68,16 @@ def main():
             ys[i * args.bs:(i + 1) * args.bs].astype(np.int64))
         model.train()
         preds = model(x)
-        data_adv = crit.PGD_Linf(model, x, preds)
-        loss = crit.loss(model, preds, data_adv, y, opt)
+        if args.method == "TRADES":
+            data_adv = crit.PGD_Linf(model, x, preds)
+            loss = crit.loss(model, preds, data_adv, y, opt)
+        else:
+            # ALP driver step (experiments_tinyimagenet.py:245-248,287):
+            # PGD_Linf leaves the model in eval mode, so logits_adv are
+            # eval-mode — the quirk our objectives reproduce
+            data_adv = crit.PGD_Linf(model, x, y)
+            output = model(data_adv)
+            loss = crit.loss(model, preds, output, y, opt)
         opt.zero_grad()
         loss.backward()
         opt.step()
