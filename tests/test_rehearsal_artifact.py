@@ -309,3 +309,19 @@ def test_avmixup_rehearsal_learned():
     assert len(series) >= 6
     assert cleans[-1] > 95.0
     assert 60.0 < advs[-1] < cleans[-1] - 5.0
+
+
+def test_u2netp_rehearsal_learned():
+    """U2NETP-front-end rehearsal: the learned edge extractor trains
+    under attack gradients to a mid-band equilibrium."""
+    p = os.path.join(REPO, "docs", "demo", "rehearsal_u2netp_log.txt")
+    if not os.path.exists(p):
+        pytest.skip("u2netp rehearsal artifact not present")
+    with open(p) as f:
+        text = f.read()
+    series = _epoch_series(text)
+    cleans = [c for c, _ in series]
+    advs = [a for _, a in series]
+    assert len(series) >= 4
+    assert cleans[-1] > 85.0
+    assert 60.0 < advs[-1] < cleans[-1]
