@@ -46,8 +46,22 @@ def main():
     args = parser.parse_args()
     cfg = load_config(args.config, vars(args))
     apply_platform(cfg)
+    run(cfg)
 
-    val_ds, spec = get_dataset(cfg["dataset"], cfg.get("data"), train=False)
+
+def run(cfg):
+    """Drive one eval config. Split from main() (same pattern as train.run)
+    so CI can run the real driver at scaled-down shapes
+    (tests/test_eval_driver.py)."""
+    # dataset construction mirrors train.run: honour the config's
+    # cize/crop_size (the fast-AT phase configs evaluate at their own
+    # resolution, reference configs_fast_*_evaluate*.yml) and
+    # synthetic_size for generated data
+    image_size = cfg.get("cize") or cfg.get("crop_size")
+    syn = cfg.get("synthetic_size")
+    val_ds, spec = get_dataset(cfg["dataset"], cfg.get("data"), train=False,
+                               image_size=image_size,
+                               synthetic_size=syn // 2 if syn else None)
     model = build_model(cfg["arch"], cfg, spec.num_classes)
     ops = ModelOps(model)
     mesh = meshlib.make_mesh()
