@@ -106,6 +106,13 @@ def synth_tiny_hard(n: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
 
 TASKS = {"block": synth_tiny, "hard": synth_tiny_hard}
 
+# method families the twin can run (both dispatch in the reference's own
+# train()/validate(): experiments_tinyimagenet.py:277-279 trains
+# tarEE_BPDA3_AT_square with targeted_PGD(.., 200, ..) and :355 validates
+# every 'tar' method with targeted attacks; accuracy is vs true labels)
+METHODS = {"flagship": "EE_BPDA3_AT_square",
+           "tar": "tarEE_BPDA3_AT_square"}
+
 
 def parse_reference_log(work_dir: str, epochs: int):
     """Recover a finished reference run from its own log.txt (validate()
@@ -242,8 +249,11 @@ def run_ours(xs_tr, ys_tr, xs_va, ys_va, init_pth, epochs: int,
                         square_n_queries=r["n_queries"])
     step = build_train_step(ops, mcfg, OptimConfig(r["momentum"],
                                                    r["weight_decay"]))
+    # tar* methods validate with TARGETED attacks (reference validate(),
+    # experiments_tinyimagenet.py:355-371) — same protocol train.py uses
     eval_step = build_eval_step(ops, EvalAttackConfig(
-        "PGD", r["epsilon"], num_steps, r["step_size_1"], True, NUM_CLASSES))
+        "PGD", r["epsilon"], num_steps, r["step_size_1"], True, NUM_CLASSES,
+        targeted=("tar" in r["method_name"])))
 
     key = jax.random.PRNGKey(seed)
     hist = {"clean": [], "adv": []}
@@ -312,6 +322,10 @@ def main():
     ap.add_argument("--n-val", type=int, default=250)
     ap.add_argument("--num-steps", type=int, default=10)
     ap.add_argument("--task", default="block", choices=sorted(TASKS))
+    ap.add_argument("--method", default="flagship", choices=sorted(METHODS),
+                    help="objective family: flagship (EE_BPDA3_AT_square) "
+                         "or tar (tarEE_BPDA3_AT_square, targeted PGD "
+                         "train + targeted validate on both sides)")
     ap.add_argument("--seeds", type=int, nargs="+", default=[1, 2],
                     help="paired runs: each seed gets its own torch init + "
                          "shuffle stream, shared between the two stacks")
@@ -326,6 +340,7 @@ def main():
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
+    RECIPE["method_name"] = METHODS[args.method]
     gen = TASKS[args.task]
     xs_tr, ys_tr = gen(args.n_train, seed=0)
     xs_va, ys_va = gen(args.n_val, seed=1)

@@ -34,7 +34,8 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
 from digital_twin import _install_reference_shims  # noqa: E402
-from digital_twin_tiny import NUM_CLASSES, RECIPE, TASKS  # noqa: E402
+from digital_twin_tiny import (METHODS, NUM_CLASSES, RECIPE,  # noqa: E402
+                               TASKS)
 
 
 # single implementation in the converter (also powers its --to-torch mode)
@@ -45,12 +46,18 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--task", default="hard")
+    ap.add_argument("--method", default="flagship", choices=sorted(METHODS),
+                    help="objective family (must match the twin run being "
+                         "attributed; 'tar' makes the reference validate() "
+                         "use its targeted attack, as it does for every "
+                         "tar* method)")
     ap.add_argument("--n-val", type=int, default=250)
     ap.add_argument("--num-steps", type=int, default=10)
     ap.add_argument("--out", default=os.path.join(REPO, "output",
                                                   "twin_hard"))
     args = ap.parse_args()
 
+    RECIPE["method_name"] = METHODS[args.method]
     ckpt_p = os.path.join(args.out, f"ours_s{args.seed}.pkl")
     with open(ckpt_p, "rb") as f:
         saved = pickle.load(f)
