@@ -216,7 +216,7 @@ def test_inverse_converter_roundtrip():
 
 
 def _export_to_torch(tmp_path, arch, num_classes, cize, channels, margs,
-                     seed=5):
+                     seed=5, extra=()):
     """Build a fresh flax state, save it as an orbax checkpoint, export it
     with `--to-torch`, and return (ops, state, pth_path)."""
     from edge_enhancement_tpu.models.registry import build_model
@@ -233,7 +233,7 @@ def _export_to_torch(tmp_path, arch, num_classes, cize, channels, margs,
     r = subprocess.run(
         [sys.executable, TOOL, str(ckpt_dir), str(pth), "--arch", arch,
          "--num-classes", str(num_classes), "--cize", str(cize),
-         "--to-torch"],
+         "--to-torch", *extra],
         capture_output=True, text=True,
         env={**os.environ, "JAX_PLATFORMS": "cpu"})
     assert r.returncode == 0, r.stdout + r.stderr
@@ -285,3 +285,44 @@ def test_to_torch_export_net2_fc_remap(tmp_path):
     got = tm(torch.from_numpy(x.transpose(0, 3, 1, 2).copy())
              ).detach().numpy()
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_to_torch_export_preact_single_head_alias(tmp_path):
+    """The preact name map aliases BOTH torch head spellings ('linear' for
+    CIFAR stems, 'fc' for (Tiny-)ImageNet — preactresnet.py:103-111) to our
+    Dense_0; a `--to-torch` export must emit exactly the spelling the
+    target dataset variant declares (no unexpected keys for the reference's
+    resume), selected by --dataset."""
+    sys.path.insert(0, REF)
+    from AWP.Tiny_imagenet.models_tiny_awp.preactresnet import PreActResNet18
+    margs = dict(dataset_variant="Tiny-ImageNet")
+    ops, state, pth = _export_to_torch(tmp_path, "PreActResNet18", 200, 64,
+                                       3, margs, seed=7)
+    payload = torch.load(str(pth), map_location="cpu", weights_only=False)
+    sd = payload["state_dict"]
+    assert "fc.weight" in sd and "linear.weight" not in sd, sorted(sd)[-4:]
+    torch.manual_seed(7)
+    tm = PreActResNet18(dataset="Tiny-ImageNet")
+    missing, unexpected = tm.load_state_dict(sd, strict=False)
+    assert not unexpected, unexpected
+    tm.eval()
+    x = np.random.default_rng(7).random((2, 64, 64, 3)).astype(np.float32)
+    want = np.asarray(ops.logits_eval(state.params, state.batch_stats,
+                                      jnp.asarray(x), jax.random.PRNGKey(1)))
+    got = tm(torch.from_numpy(x.transpose(0, 3, 1, 2).copy())
+             ).detach().numpy()
+    np.testing.assert_allclose(got, want, atol=2e-3)
+
+    # CIFAR spelling: --dataset CIFAR100 flips the exported head to 'linear'
+    pth2 = tmp_path / "exported_cifar.pth"
+    import subprocess
+    r = subprocess.run(
+        [sys.executable, TOOL, str(tmp_path / "ours"), str(pth2), "--arch",
+         "PreActResNet18", "--num-classes", "200", "--cize", "64",
+         "--to-torch", "--dataset", "CIFAR100"],
+        capture_output=True, text=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stdout + r.stderr
+    sd2 = torch.load(str(pth2), map_location="cpu",
+                     weights_only=False)["state_dict"]
+    assert "linear.weight" in sd2 and "fc.weight" not in sd2

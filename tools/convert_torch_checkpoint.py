@@ -279,6 +279,10 @@ def main():
     ap.add_argument("--type-canny", default="CannyFilter_step125_1")
     ap.add_argument("--epsilon", type=float, default=0.062745098)
     ap.add_argument("--n-queries", type=int, default=1)
+    ap.add_argument("--dataset", default="Tiny-ImageNet",
+                    help="PreActResNet only: picks the reference head "
+                         "spelling for --to-torch exports ('linear' for "
+                         "CIFAR*, 'fc' otherwise — preactresnet.py:103-111)")
     ap.add_argument("--to-torch", action="store_true",
                     help="reverse direction: ckpt is OUR orbax checkpoint "
                          "dir, out_dir is a .pth path; writes a reference"
@@ -308,6 +312,14 @@ def main():
         sd = params_to_torch_state_dict(payload["state"]["params"],
                                         payload["state"]["batch_stats"],
                                         name_map_for_arch(args.arch))
+        if args.arch.startswith("PreActResNet"):
+            # the preact name map aliases both torch head spellings to our
+            # Dense_0 (forward conversion skips whichever is absent); the
+            # export must emit exactly the one this dataset variant
+            # declares, or the reference's strict resume rejects the file
+            drop = ("fc" if args.dataset.startswith("CIFAR") else "linear")
+            for k in (drop + ".weight", drop + ".bias"):
+                sd.pop(k, None)
         meta = payload["meta"]
         out = args.out_dir
         os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)

@@ -213,6 +213,11 @@ def run_reference(data_dir: str, work_dir: str, epochs: int, num_steps: int,
     train_loader, val_loader = _torch_loaders(data_dir, args.batch_size, seed)
     log_dir = os.path.join(work_dir, "log") + os.sep
     os.makedirs(log_dir, exist_ok=True)
+    # logs are written in append mode: clear any stale one from an
+    # interrupted run so recovery parses only this run's epochs
+    for f in os.listdir(log_dir):
+        if f.endswith(".txt"):
+            os.remove(os.path.join(log_dir, f))
 
     def clean_acc():
         model.eval()

@@ -127,6 +127,11 @@ def run_reference(xs_tr, ys_tr, xs_va, ys_va, work_dir: str, epochs: int,
     train_loader, val_loader = mk(xs_tr, ys_tr, True), mk(xs_va, ys_va, False)
     log_dir = os.path.join(work_dir, "log") + os.sep
     os.makedirs(log_dir, exist_ok=True)
+    # logs are written in append mode: clear any stale one from an
+    # interrupted run so recovery parses only this run's epochs
+    for f in os.listdir(log_dir):
+        if f.endswith(".txt"):
+            os.remove(os.path.join(log_dir, f))
     for epoch in range(epochs):
         E.train(train_loader, model, awp_adversary, criterion, optimizer,
                 epoch, args.print_freq, "cpu", log_dir)

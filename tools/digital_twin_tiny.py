@@ -181,6 +181,12 @@ def run_reference(xs_tr, ys_tr, xs_va, ys_va, work_dir: str, epochs: int,
     train_loader, val_loader = mk(xs_tr, ys_tr, True), mk(xs_va, ys_va, False)
     log_dir = os.path.join(work_dir, "log") + os.sep
     os.makedirs(log_dir, exist_ok=True)
+    # the reference writes logs in append mode: a stale log from an
+    # interrupted run would prepend its epochs to this run's and corrupt
+    # parse_reference_log's first-`epochs` slice — start clean
+    for f in os.listdir(log_dir):
+        if f.endswith(".txt"):
+            os.remove(os.path.join(log_dir, f))
     for epoch in range(epochs):
         E.train(train_loader, model, criterion, optimizer, epoch,
                 args.print_freq, "cpu", log_dir)
