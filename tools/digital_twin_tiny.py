@@ -199,14 +199,17 @@ def run_reference(xs_tr, ys_tr, xs_va, ys_va, work_dir: str, epochs: int,
 
 def run_ours(xs_tr, ys_tr, xs_va, ys_va, init_pth, epochs: int,
              num_steps: int, seed: int = 1, platform: str = "cpu",
-             ckpt_path: str | None = None) -> dict:
+             ckpt_path: str | None = None, batch_order=None) -> dict:
     """Train with our stack. init_pth: reference torch init to copy
     (twin mode), or None for a fresh flax init (task calibration).
     ckpt_path: optional pickle written after every epoch (params, BN stats,
     momentum, RNG key, history) so an interrupted CPU run — hours per seed
     on this 1-core box — resumes at the next epoch boundary with the same
     trajectory (per-epoch shuffle/eval keys are stateless; the train key
-    chain is part of the checkpoint)."""
+    chain is part of the checkpoint). batch_order: optional per-epoch list
+    of index batches overriding our shuffle stream (the order-attribution
+    probe, tools/twin_order_probe.py, feeds the torch DataLoader's exact
+    order here)."""
     import jax
     if platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
@@ -281,8 +284,14 @@ def run_ours(xs_tr, ys_tr, xs_va, ys_va, init_pth, epochs: int,
         print(f"[ours seed{seed}] resumed at epoch {start_epoch}",
               flush=True)
     for epoch in range(start_epoch, epochs):
-        for x, y in train_ds.batches(r["batch_size"], shuffle=True,
-                                     seed=seed, epoch=epoch, as_uint8=True):
+        if batch_order is not None:
+            batch_iter = ((xs_tr[ix], ys_tr[ix]) for ix in
+                          batch_order[epoch])
+        else:
+            batch_iter = train_ds.batches(r["batch_size"], shuffle=True,
+                                          seed=seed, epoch=epoch,
+                                          as_uint8=True)
+        for x, y in batch_iter:
             key, k = jax.random.split(key)
             state, _ = step(state, jnp.asarray(x), jnp.asarray(y), k,
                             jnp.float32(r["lr"]))
