@@ -81,6 +81,19 @@ def test_twin_hard_artifact(twin_dir, has_cross):
 
     if not has_cross:
         return
+    # (4) order-invariance: re-training all ours-side seeds on the torch
+    # DataLoader's exact batch order (tools/twin_order_probe.py) leaves the
+    # converged offset unchanged — the shuffle stream is not the cause of
+    # the signed offset, and the torch-order run must also sit inside the
+    # same band discipline as the native-order run
+    op = os.path.join(REPO, "output", twin_dir, "order_probe.json")
+    if os.path.exists(op):
+        probe = json.load(open(op))["summary"]
+        for m in ("clean", "adv"):
+            dt = probe[m]["offset_torch_order"]
+            dn = probe[m]["offset_native_order"]
+            assert abs(dt - dn) <= 2.0, (m, dt, dn)
+
     cross_adv, self_adv = [], []
     for s in seeds:
         cp = os.path.join(REPO, "output", twin_dir, f"cross_s{s}.json")
