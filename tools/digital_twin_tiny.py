@@ -111,7 +111,21 @@ TASKS = {"block": synth_tiny, "hard": synth_tiny_hard}
 # tarEE_BPDA3_AT_square with targeted_PGD(.., 200, ..) and :355 validates
 # every 'tar' method with targeted attacks; accuracy is vs true labels)
 METHODS = {"flagship": "EE_BPDA3_AT_square",
-           "tar": "tarEE_BPDA3_AT_square"}
+           "tar": "tarEE_BPDA3_AT_square",
+           "trades": "TRADES"}
+
+# per-method recipe overrides applied in main(). TRADES runs the shipped
+# config's arch/beta/step-size (configs_tinyimagenet trades recipe: plain
+# resnet18, beta 6, step 1/255) but at lr 0.005: the shipped lr 0.1 recipe
+# DIVERGES to NaN on synthetic-hard in BOTH stacks (matched divergence,
+# tools/probe_trades_ref.py + docs/REHEARSAL.md), and lr 0.02 still
+# collapses by epoch 2 — 0.005 measured stable and mid-band for 10 epochs.
+# A converging twin needs a stabilized operating point; the stabilization
+# is applied to both sides identically so the comparison stays paired.
+METHOD_OVERRIDES = {
+    "trades": dict(arch="resnet18", lr=0.005,
+                   step_size_1=0.003921568627451, beta=6.0),
+}
 
 
 def parse_reference_log(work_dir: str, epochs: int):
@@ -153,11 +167,15 @@ def run_reference(xs_tr, ys_tr, xs_va, ys_va, work_dir: str, epochs: int,
                                  attack_method="PGD", print_freq=10 ** 9)
     E.args = args
     torch.manual_seed(seed)
-    model = resnet18_EE_square(
-        pretrained=False, cize=r["cize"], r=r["r"], w=r["w"],
-        with_gf=r["gf"], low=r["low"], high=r["high"], alpha=r["alpha"],
-        sigma=r["sigma"], type_canny=r["type_canny"],
-        epsilon=r["epsilon"], n_queries=r["n_queries"])
+    if r["arch"] == "resnet18":
+        import models_tinyimagenet as M
+        model = M.resnet18(pretrained=False)
+    else:
+        model = resnet18_EE_square(
+            pretrained=False, cize=r["cize"], r=r["r"], w=r["w"],
+            with_gf=r["gf"], low=r["low"], high=r["high"], alpha=r["alpha"],
+            sigma=r["sigma"], type_canny=r["type_canny"],
+            epsilon=r["epsilon"], n_queries=r["n_queries"])
     os.makedirs(work_dir, exist_ok=True)
     init_pth = os.path.join(work_dir, "init.pth")
     torch.save({"epoch": 0, "arch": r["arch"],
@@ -167,7 +185,13 @@ def run_reference(xs_tr, ys_tr, xs_va, ys_va, work_dir: str, epochs: int,
     optimizer = optim.SGD(model.parameters(), lr=r["lr"],
                           momentum=r["momentum"],
                           weight_decay=r["weight_decay"])
-    criterion = nn.CrossEntropyLoss()
+    if r["method_name"] == "TRADES":
+        # experiments_tinyimagenet.py:124-125 builds the Trades criterion
+        # (eval-mode KL inner attack, CE + beta*KL loss) from args
+        criterion = E.Trades(r["step_size_1"], r["epsilon"], num_steps,
+                             r["beta"])
+    else:
+        criterion = nn.CrossEntropyLoss()
 
     def mk(x, y, shuffle):
         xt = torch.from_numpy(x.astype(np.float32) / 255.0).permute(0, 3, 1, 2)
@@ -254,6 +278,7 @@ def run_ours(xs_tr, ys_tr, xs_va, ys_va, init_pth, epochs: int,
     mcfg = MethodConfig(method_name=r["method_name"], epsilon=r["epsilon"],
                         num_steps=num_steps, step_size=r["step_size_1"],
                         random=r["random"], num_classes=NUM_CLASSES,
+                        beta=float(r.get("beta", 1.0)),
                         pre_square=False, square_epsilon=r["epsilon"],
                         square_n_queries=r["n_queries"])
     step = build_train_step(ops, mcfg, OptimConfig(r["momentum"],
@@ -356,6 +381,7 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
     RECIPE["method_name"] = METHODS[args.method]
+    RECIPE.update(METHOD_OVERRIDES.get(args.method, {}))
     gen = TASKS[args.task]
     xs_tr, ys_tr = gen(args.n_train, seed=0)
     xs_va, ys_va = gen(args.n_val, seed=1)
