@@ -39,6 +39,9 @@ def _converged(hist, k=2):
     ("twin_hard_tar", False),   # targeted family (tarEE_BPDA3_AT_square);
                                 # gaps sit well inside the bands so no
                                 # cross-attacker attribution was needed
+    ("twin_hard_awp", False),   # AWP family (PreActResNet18_EE_BPDA_3 +
+                                # EE_AT_AWP, tools/digital_twin_awp.py);
+                                # gaps 1.9/0.2 vs bands 7.8/8.6
 ])
 def test_twin_hard_artifact(twin_dir, has_cross):
     """Gate on the committed NON-SATURATING twin evidence (docs/TWIN.md v2,
