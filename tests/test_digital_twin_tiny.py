@@ -34,16 +34,19 @@ def _converged(hist, k=2):
     return {m: float(np.mean(hist[m][-k:])) for m in ("clean", "adv")}
 
 
-@pytest.mark.parametrize("twin_dir,has_cross", [
-    ("twin_hard", True),        # flagship EE_BPDA3_AT_square
-    ("twin_hard_tar", False),   # targeted family (tarEE_BPDA3_AT_square);
-                                # gaps sit well inside the bands so no
-                                # cross-attacker attribution was needed
-    ("twin_hard_awp", False),   # AWP family (PreActResNet18_EE_BPDA_3 +
-                                # EE_AT_AWP, tools/digital_twin_awp.py);
-                                # gaps 1.9/0.2 vs bands 7.8/8.6
+@pytest.mark.parametrize("twin_dir,has_cross,clean_hi", [
+    ("twin_hard", True, 95.0),       # flagship EE_BPDA3_AT_square
+    ("twin_hard_tar", False, 95.0),  # targeted family; gaps sit well
+                                     # inside the bands so no cross-attacker
+                                     # attribution was needed
+    ("twin_hard_awp", False, 95.0),  # AWP family (PreActResNet18_EE_BPDA_3
+                                     # + EE_AT_AWP); gaps 1.9/0.2 vs bands
+                                     # 7.8/8.6
+    ("twin_hard_trades", False, 97.0),  # TRADES at the stabilized lr 0.005
+                                     # (shipped lr diverges in BOTH stacks);
+                                     # equilibrium is higher-clean by recipe
 ])
-def test_twin_hard_artifact(twin_dir, has_cross):
+def test_twin_hard_artifact(twin_dir, has_cross, clean_hi):
     """Gate on the committed NON-SATURATING twin evidence (docs/TWIN.md v2,
     output/twin_hard*): the round-3 VERDICT's tightened-band item, applied
     where tightness is honest — at convergence. (The trajectory mini below
@@ -72,7 +75,7 @@ def test_twin_hard_artifact(twin_dir, has_cross):
     for side in ("reference", "ours"):
         cm = np.mean(conv[side]["clean"])
         am = np.mean(conv[side]["adv"])
-        assert 40.0 <= cm <= 95.0, (side, cm)          # mid-band, not 100/100
+        assert 40.0 <= cm <= clean_hi, (side, cm)      # mid-band, not 100/100
         assert am <= cm - 5.0, (side, cm, am)          # attackable
         assert am >= 30.0, (side, am)                  # but learnable
 

@@ -112,7 +112,9 @@ TASKS = {"block": synth_tiny, "hard": synth_tiny_hard}
 # every 'tar' method with targeted attacks; accuracy is vs true labels)
 METHODS = {"flagship": "EE_BPDA3_AT_square",
            "tar": "tarEE_BPDA3_AT_square",
-           "trades": "TRADES"}
+           "trades": "TRADES",
+           "alp": "ALP",
+           "avmixup": "AVmixup"}
 
 # per-method recipe overrides applied in main(). TRADES runs the shipped
 # config's arch/beta/step-size (configs_tinyimagenet trades recipe: plain
@@ -125,6 +127,16 @@ METHODS = {"flagship": "EE_BPDA3_AT_square",
 METHOD_OVERRIDES = {
     "trades": dict(arch="resnet18", lr=0.005,
                    step_size_1=0.003921568627451, beta=6.0),
+    # ALP likewise diverges at its shipped lr 0.1 on synthetic-hard in
+    # BOTH stacks (matched divergence: docs/demo/probe_alp_{ours,ref}.txt);
+    # same stabilization, shipped beta/step/arch (alp_training.yml)
+    "alp": dict(arch="resnet18", lr=0.005,
+                step_size_1=0.003921568627451, beta=1.0),
+    # AVmixup at its shipped recipe (avmixup_training.yml: plain resnet18,
+    # lr 0.1, step 1/255; gamma/lambda built INSIDE the reference train()
+    # at 2.0/1.0/0.1 — our MethodConfig defaults match)
+    "avmixup": dict(arch="resnet18", lr=0.1,
+                    step_size_1=0.003921568627451),
 }
 
 
@@ -190,6 +202,11 @@ def run_reference(xs_tr, ys_tr, xs_va, ys_va, work_dir: str, epochs: int,
         # (eval-mode KL inner attack, CE + beta*KL loss) from args
         criterion = E.Trades(r["step_size_1"], r["epsilon"], num_steps,
                              r["beta"])
+    elif r["method_name"] == "ALP":
+        # experiments_tinyimagenet.py:120-121 (eval-mode PGD inner attack,
+        # CE(adv) + beta*MSE(clean_logits, adv_logits))
+        criterion = E.ALP(r["step_size_1"], r["epsilon"], num_steps,
+                          r["beta"])
     else:
         criterion = nn.CrossEntropyLoss()
 
