@@ -45,6 +45,9 @@ def _converged(hist, k=2):
     ("twin_hard_trades", False, 97.0),  # TRADES at the stabilized lr 0.005
                                      # (shipped lr diverges in BOTH stacks);
                                      # equilibrium is higher-clean by recipe
+    ("twin_hard_alp", False, 95.0),  # ALP at the stabilized lr 0.005 (same
+                                     # matched-divergence story as TRADES);
+                                     # gaps 3.6/1.5 vs bands 5.4/4.6
 ])
 def test_twin_hard_artifact(twin_dir, has_cross, clean_hi):
     """Gate on the committed NON-SATURATING twin evidence (docs/TWIN.md v2,
