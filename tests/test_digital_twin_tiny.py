@@ -48,6 +48,11 @@ def _converged(hist, k=2):
     ("twin_hard_alp", False, 95.0),  # ALP at the stabilized lr 0.005 (same
                                      # matched-divergence story as TRADES);
                                      # gaps 3.6/1.5 vs bands 5.4/4.6
+    ("twin_hard_free", False, 98.0),  # free-AT replay family (the actual
+                                     # free DDP driver vs our lax.scan step);
+                                     # eps 4/255 recipe -> higher equilibrium
+                                     # (~95/84); gaps 0.5/0.7 vs bands
+                                     # 4.2/3.8 — the tightest of the eight
 ])
 def test_twin_hard_artifact(twin_dir, has_cross, clean_hi):
     """Gate on the committed NON-SATURATING twin evidence (docs/TWIN.md v2,
