@@ -82,3 +82,55 @@ def test_denoising_block_matches_reference(n_in, hw):
         np.asarray(out_j), out_t.detach().numpy().transpose(0, 2, 3, 1),
         atol=2e-4)
     np.testing.assert_allclose(np.asarray(g_j), g_t, atol=2e-4)
+
+
+def test_fd_full_model_converted_init_logits_parity():
+    """Full resnet18_fd conversion gate (the fd twin's deterministic
+    anchor, mirroring test_digital_twin_tiny_mini's EE version): the
+    reference ResNet_fd built at 64px (avgpool + denoise H/W generalized
+    to the actual map sizes exactly as the twin harness does), its random
+    init converted via resnet_name_map(18, fd=True), must produce
+    identical eval logits in our flax resnet18_fd."""
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools"))
+    from digital_twin import _install_reference_shims
+    _install_reference_shims()
+    imagenet = os.path.join(REF, "ImageNet")
+    if imagenet not in sys.path:
+        sys.path.insert(0, imagenet)
+    import torch.nn as nn
+    from models_imagenet import resnet18_fd
+
+    from edge_enhancement_tpu.models.registry import build_model
+    from edge_enhancement_tpu.train.modelops import ModelOps
+    from edge_enhancement_tpu.train.trainer import create_train_state
+    from tools.convert_torch_checkpoint import convert, resnet_name_map
+
+    torch.manual_seed(7)
+    tmodel = resnet18_fd(pretrained=False)
+    tmodel.avgpool = nn.AdaptiveAvgPool2d(1)
+    # the reference hard-wires the 224px map sizes into the denoise
+    # normalization (resnet_fd.py:167-173: H=W=56/28/14/7; forward divides
+    # by H*W); at 64px the actual maps are 16/8/4/2
+    for d, hw in zip((tmodel.denoise1, tmodel.denoise2, tmodel.denoise3,
+                      tmodel.denoise4), (16, 8, 4, 2)):
+        d.H = d.W = hw
+    tmodel.eval()
+
+    ops = ModelOps(build_model("resnet18_fd", {}, 1000))
+    st = create_train_state(ops, jax.random.PRNGKey(1),
+                            jnp.zeros((1, 64, 64, 3)))
+    params, stats, matched, _ = convert(
+        tmodel.state_dict(), resnet_name_map(18, fd=True),
+        st.params, st.batch_stats)
+    assert matched == 126, matched     # 102 resnet18 + 4 x (conv3=2, bn=4)
+
+    rng = np.random.default_rng(11)
+    x = rng.random((2, 64, 64, 3)).astype(np.float32)
+    lj = np.asarray(ops.logits_eval(params, stats, jnp.asarray(x),
+                                    jax.random.PRNGKey(0)))
+    with torch.no_grad():
+        lt = tmodel(torch.from_numpy(
+            np.ascontiguousarray(x.transpose(0, 3, 1, 2)))).numpy()
+    np.testing.assert_allclose(lj, lt, atol=2e-3)

@@ -32,12 +32,22 @@ _RESNET_LAYERS = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3),
                   101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
 
 
-def resnet_name_map(depth: int) -> dict:
+def resnet_name_map(depth: int, fd: bool = False) -> dict:
     """torch module name -> flax module path (torchvision-style ResNet;
-    flax auto-names follow call order, see tests/test_step_parity_resnet.py)."""
+    flax auto-names follow call order, see tests/test_step_parity_resnet.py).
+
+    fd=True adds the ResNet_fd denoising blocks (resnet_fd.py:156-180:
+    denoise{1..4} after each layer group). Only conv3 + bn carry into our
+    DenoisingBlock: with embed=False the reference's conv1/conv2 are dead
+    parameters (never used in forward, so they receive no gradient and stay
+    at init for the whole run)."""
     bottleneck = depth >= 50
     blk_cls = "Bottleneck" if bottleneck else "BasicBlock"
     m = {"conv1": ("Conv_0",), "bn1": ("BatchNorm_0",), "fc": ("Dense_0",)}
+    if fd:
+        for d in range(4):
+            m[f"denoise{d + 1}.conv3"] = (f"DenoisingBlock_{d}", "Conv_0")
+            m[f"denoise{d + 1}.bn"] = (f"DenoisingBlock_{d}", "BatchNorm_0")
     k = 0
     for li, n in enumerate(_RESNET_LAYERS[depth]):
         for i in range(n):
@@ -235,7 +245,7 @@ def name_map_for_arch(arch: str) -> dict:
     import re
     m = re.fullmatch(r"resnet(\d+).*", arch)
     if m:
-        return resnet_name_map(int(m.group(1)))
+        return resnet_name_map(int(m.group(1)), fd=arch.endswith("_fd"))
     if arch.startswith("PreActResNet"):
         return preact_name_map(18)
     if arch.startswith("Net2"):
@@ -352,7 +362,8 @@ def main():
     import re
     m = re.fullmatch(r"resnet(\d+).*", args.arch)
     if m:
-        name_map = resnet_name_map(int(m.group(1)))
+        name_map = resnet_name_map(int(m.group(1)),
+                                   fd=args.arch.endswith("_fd"))
     elif args.arch.startswith("PreActResNet"):
         name_map = preact_name_map(18)
     elif args.arch.startswith("Net2"):
