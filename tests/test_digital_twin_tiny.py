@@ -53,6 +53,11 @@ def _converged(hist, k=2):
                                      # eps 4/255 recipe -> higher equilibrium
                                      # (~95/84); gaps 0.5/0.7 vs bands
                                      # 4.2/3.8 — the tightest of the eight
+    ("twin_hard_fast", False, 96.0),  # fast-AT (FGSM-RS + cyclic LR) at the
+                                     # stabilized peak 0.005 (shipped-scaled
+                                     # peak collapses in BOTH stacks — see
+                                     # docs/demo/probe_fast_*); gaps 1.3/1.3
+                                     # vs bands 2.0/3.0
 ])
 def test_twin_hard_artifact(twin_dir, has_cross, clean_hi):
     """Gate on the committed NON-SATURATING twin evidence (docs/TWIN.md v2,
