@@ -58,6 +58,10 @@ def _converged(hist, k=2):
                                      # peak collapses in BOTH stacks — see
                                      # docs/demo/probe_fast_*); gaps 1.3/1.3
                                      # vs bands 2.0/3.0
+    ("twin_hard_fd", False, 96.0),   # feature-denoising model family
+                                     # (resnet18_fd + tarFD, the reference's
+                                     # own ImageNet driver); gaps 0.5/0.3 vs
+                                     # bands 4.4/7.6, values interleave
 ])
 def test_twin_hard_artifact(twin_dir, has_cross, clean_hi):
     """Gate on the committed NON-SATURATING twin evidence (docs/TWIN.md v2,
