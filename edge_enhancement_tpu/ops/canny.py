@@ -77,6 +77,16 @@ def _nms(magnitude: jnp.ndarray, grad_x: jnp.ndarray, grad_y: jnp.ndarray) -> jn
     quantises to 45-degree bins, and zeroes pixels that are not a local max
     along their gradient direction. The directional convs are shift
     differences: directional_i = mag - mag_shifted(offset_i).
+
+    Knife-edge caveat (measure-zero): the `> 0.0` test is STRICT in both
+    implementations, so an EXACT magnitude tie across an edge (only ideal
+    synthetic steps produce one — e.g. a binary axis-aligned square)
+    suppresses both pixels. On such inputs torch's conv accumulation order
+    leaves a 1-ULP asymmetry (1.451863 vs 1.451862 measured) that keeps one
+    column by rounding luck, where our channel-sum-first ordering computes
+    the exact tie. Any realistic input (noise, attack perturbations, real
+    images) breaks the tie identically on both sides — elementwise forward
+    agreement on non-degenerate inputs is pinned by test_parity_torch.py.
     """
     # The orientation only feeds equality comparisons (non-differentiable in
     # the reference too); stop_gradient keeps the 0/0 division's NaN out of
