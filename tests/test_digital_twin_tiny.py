@@ -62,6 +62,11 @@ def _converged(hist, k=2):
                                      # (resnet18_fd + tarFD, the reference's
                                      # own ImageNet driver); gaps 0.5/0.3 vs
                                      # bands 4.4/7.6, values interleave
+    ("twin_hard_trick", False, 96.0),  # trick family (tarEE_trick: Bernoulli
+                                     # clean-start gate + label smoothing);
+                                     # gaps 0.7/0.5 vs bands 3.6/5.4, values
+                                     # interleave — completes the dispatched
+                                     # training-method matrix
 ])
 def test_twin_hard_artifact(twin_dir, has_cross, clean_hi):
     """Gate on the committed NON-SATURATING twin evidence (docs/TWIN.md v2,
