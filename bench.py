@@ -175,5 +175,22 @@ def main():
     }))
 
 
+def _retry_exec(exc: BaseException):
+    """A transient tunnel drop AFTER the probe succeeded leaves jax with a
+    cached dead backend in-process — the only clean retry is a re-exec.
+    Bounded by EE_BENCH_EXEC_ATTEMPT so a hard outage still terminates."""
+    attempt = int(os.environ.get("EE_BENCH_EXEC_ATTEMPT", 0))
+    if attempt >= 2 or "UNAVAILABLE" not in str(exc):
+        raise exc
+    print(f"bench: run failed with a transient backend error ({exc}); "
+          f"re-executing (attempt {attempt + 1})", file=sys.stderr)
+    time.sleep(60)
+    os.environ["EE_BENCH_EXEC_ATTEMPT"] = str(attempt + 1)
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — transient-backend filter inside
+        _retry_exec(e)
